@@ -1,0 +1,550 @@
+"""TPU-native camera model for the facebook360_dep rebuild.
+
+The reference implements a scalar, per-point camera model in C++
+(``source/util/Camera.h:32-419``). Here the same model — four projections
+(FTHETA, RECTILINEAR, EQUISOLID, ORTHOGRAPHIC), polynomial radial distortion
+``r + d0 r^3 + d1 r^5 (+ d2 r^7)`` with Newton-iteration undistort, FOV cone
+tests, and rig JSON (de)serialization — is a JAX pytree of arrays plus pure,
+shape-polymorphic functions. Every function broadcasts over arbitrary leading
+dims of the point/pixel arrays, so whole images (H, W, 3) project in one fused
+XLA op, and rigs batch with ``jax.vmap`` over the leading camera axis.
+
+Reference parity notes:
+- Projection formulas: ``util/Camera.h:301-378`` (cameraToSensor /
+  sensorToCamera).
+- Distortion / undistort: ``util/Camera.h:238-284`` (kMaxSteps=10 Newton).
+  We run a fixed iteration count with the analytic derivative instead of the
+  reference's early-exit numeric-diff loop; both converge to < 1e-10.
+- FOV tests: ``util/Camera.h:150-196``.
+- kNearInfinity: ``util/Camera.cpp:19``.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+KNEAR_INFINITY = 1e4  # util/Camera.cpp:19
+
+# Type codes match the reference enum order (util/Camera.h:43).
+FTHETA = 0
+RECTILINEAR = 1
+EQUISOLID = 2
+ORTHOGRAPHIC = 3
+
+_TYPE_NAMES = ["FTHETA", "RECTILINEAR", "EQUISOLID", "ORTHOGRAPHIC"]
+
+_UNDISTORT_ITERS = 10  # util/Camera.h:265 kMaxSteps
+
+
+class Camera(NamedTuple):
+    """A camera (or a rig of cameras, with a leading batch axis).
+
+    ``rotation`` is world-to-camera, rows = (right, up, backward), matching
+    ``util/Camera.h:76-84``. All fields are arrays so the pytree is jit/vmap
+    friendly; camera ids live host-side (see :func:`load_rig`).
+    """
+
+    type_code: jnp.ndarray  # () int32
+    position: jnp.ndarray  # (3,)
+    rotation: jnp.ndarray  # (3, 3)
+    resolution: jnp.ndarray  # (2,)
+    principal: jnp.ndarray  # (2,)
+    focal: jnp.ndarray  # (2,)
+    distortion: jnp.ndarray  # (3,)
+    distortion_max: jnp.ndarray  # ()
+    cos_fov: jnp.ndarray  # ()
+
+    @property
+    def forward(self):
+        return -self.rotation[..., 2, :]
+
+    @property
+    def up(self):
+        return self.rotation[..., 1, :]
+
+    @property
+    def right(self):
+        return self.rotation[..., 0, :]
+
+    @property
+    def backward(self):
+        return self.rotation[..., 2, :]
+
+
+def _expand(a, ndim):
+    """Append singleton dims so per-camera scalars broadcast over points."""
+    a = jnp.asarray(a)
+    return a.reshape(a.shape + (1,) * ndim)
+
+
+def distort_factor(distortion: jnp.ndarray, r_squared: jnp.ndarray) -> jnp.ndarray:
+    """Horner evaluation of 1 + s*(d0 + s*(d1 + s*d2)). util/Camera.h:238-245."""
+    d0 = _expand(distortion[..., 0], r_squared.ndim)
+    d1 = _expand(distortion[..., 1], r_squared.ndim)
+    d2 = _expand(distortion[..., 2], r_squared.ndim)
+    return 1.0 + r_squared * (d0 + r_squared * (d1 + r_squared * d2))
+
+
+def distort(cam: Camera, r: jnp.ndarray) -> jnp.ndarray:
+    """distort(r) = r * distortFactor(r^2), clamped at distortionMax. util/Camera.h:250-253."""
+    r = jnp.minimum(r, _expand(cam.distortion_max, r.ndim))
+    return distort_factor(cam.distortion, r * r) * r
+
+
+def _distort_unclamped(distortion, x):
+    return distort_factor(distortion, x * x) * x
+
+
+def _distort_derivative(distortion, x):
+    s = x * x
+    d0 = _expand(distortion[..., 0], x.ndim)
+    d1 = _expand(distortion[..., 1], x.ndim)
+    d2 = _expand(distortion[..., 2], x.ndim)
+    return 1.0 + s * (3.0 * d0 + s * (5.0 * d1 + s * 7.0 * d2))
+
+
+def undistort(cam: Camera, y: jnp.ndarray) -> jnp.ndarray:
+    """Invert distort() by fixed-iteration Newton. util/Camera.h:255-284.
+
+    Vectorized: no early exit; 10 analytic-derivative Newton steps from x0=y
+    (the reference's first step from x0=0 also lands on y).
+    """
+    dmax = _expand(cam.distortion_max, y.ndim)
+    dmax_b = jnp.broadcast_to(dmax, y.shape)
+    # Where distortionMax is inf (default distortion) treat as unclamped.
+    finite_max = jnp.isfinite(dmax_b)
+    y_max = jnp.where(finite_max, _distort_unclamped(cam.distortion, jnp.where(finite_max, dmax_b, 1.0)), jnp.inf)
+
+    def body(_, x):
+        fx = _distort_unclamped(cam.distortion, x)
+        dfx = _distort_derivative(cam.distortion, x)
+        step = (y - fx) / jnp.where(dfx == 0, 1.0, dfx)
+        return x + step
+
+    x = jax.lax.fori_loop(0, _UNDISTORT_ITERS, body, jnp.asarray(y))
+    # y past the distortion maximum clamps to distortionMax (util/Camera.h:260-262)
+    x = jnp.where(y >= y_max, dmax_b, x)
+    return x
+
+
+def camera_to_sensor(cam: Camera, v: jnp.ndarray) -> jnp.ndarray:
+    """Unit-agnostic camera-space direction -> distorted sensor coords.
+
+    util/Camera.h:301-341. ``v`` has shape (..., 3); returns (..., 2).
+    Computes all four projections and selects by type (cheap trig; avoids
+    data-dependent branching under jit/vmap).
+    """
+    xy = v[..., :2]
+    z = v[..., 2]
+    xy_sq = jnp.sum(xy * xy, axis=-1)
+    xy_norm = jnp.sqrt(xy_sq)
+    full_norm = jnp.sqrt(xy_sq + z * z)
+    tiny = jnp.asarray(np.finfo(jnp.result_type(v)).tiny)
+    xy_safe = jnp.maximum(xy_norm, tiny)
+    full_safe = jnp.maximum(full_norm, tiny)
+
+    # FTHETA: r = theta = atan2(|xy|, -z)
+    r_ftheta = jnp.arctan2(xy_norm, -z)
+    # RECTILINEAR: r = |xy| / -z, or tan(pi/2) when behind (util/Camera.h:317-324)
+    tan_half_pi = jnp.tan(jnp.asarray(np.pi / 2, dtype=jnp.result_type(v)))
+    r_rect = jnp.where(-z > 0, xy_norm / jnp.where(-z > 0, -z, 1.0), tan_half_pi)
+    # EQUISOLID: r = 2 sqrt((1 + z/|v|) / 2)
+    r_equi = 2.0 * jnp.sqrt(jnp.maximum((1.0 + z / full_safe) / 2.0, 0.0))
+
+    tc = _expand(cam.type_code, z.ndim)
+    r = jnp.where(tc == FTHETA, r_ftheta, jnp.where(tc == RECTILINEAR, r_rect, r_equi))
+    sensor_std = (distort(cam, r) / xy_safe)[..., None] * xy
+
+    # ORTHOGRAPHIC: pre = xy/|v| in front, xy/|xy| behind; no clamp on factor
+    pre = jnp.where((z < 0)[..., None], xy / full_safe[..., None], xy / xy_safe[..., None])
+    pre_sq = jnp.sum(pre * pre, axis=-1)
+    sensor_ortho = distort_factor(cam.distortion, pre_sq)[..., None] * pre
+
+    return jnp.where((tc == ORTHOGRAPHIC)[..., None], sensor_ortho, sensor_std)
+
+
+def sensor_to_camera(cam: Camera, sensor: jnp.ndarray) -> jnp.ndarray:
+    """Distorted sensor coords -> unit camera-space direction. util/Camera.h:344-378."""
+    sq = jnp.sum(sensor * sensor, axis=-1)
+    norm = jnp.sqrt(sq)
+    tiny = jnp.asarray(np.finfo(jnp.result_type(sensor)).tiny)
+    norm_safe = jnp.maximum(norm, tiny)
+    r = undistort(cam, norm)
+
+    dtype = jnp.result_type(sensor)
+    pi = jnp.asarray(np.pi, dtype)
+    theta_ftheta = r
+    theta_rect = jnp.arctan(r)
+    theta_equi = jnp.where(r <= 2.0, 2.0 * jnp.arcsin(jnp.clip(r / 2.0, -1.0, 1.0)), pi)
+    theta_ortho = jnp.where(r <= 1.0, jnp.arcsin(jnp.clip(r, -1.0, 1.0)), pi / 2.0)
+
+    tc = _expand(cam.type_code, sq.ndim)
+    theta = jnp.where(
+        tc == FTHETA,
+        theta_ftheta,
+        jnp.where(tc == RECTILINEAR, theta_rect, jnp.where(tc == EQUISOLID, theta_equi, theta_ortho)),
+    )
+    unit_xy = (jnp.sin(theta) / norm_safe)[..., None] * sensor
+    unit_z = -jnp.cos(theta)
+    unit = jnp.concatenate([unit_xy, unit_z[..., None]], axis=-1)
+    # degenerate center pixel -> straight ahead (util/Camera.h:351-354)
+    center = (sq == 0)[..., None]
+    straight = jnp.zeros_like(unit).at[..., 2].set(-1.0)
+    return jnp.where(center, straight, unit)
+
+
+def pixel(cam: Camera, rig_pts: jnp.ndarray) -> jnp.ndarray:
+    """World (rig-space) points (..., 3) -> pixel coords (..., 2). util/Camera.h:121-128."""
+    v = jnp.einsum("...ij,...j->...i", cam.rotation, rig_pts - cam.position)
+    sensor = camera_to_sensor(cam, v)
+    return cam.focal * sensor + cam.principal
+
+
+def ray_dir(cam: Camera, pix: jnp.ndarray) -> jnp.ndarray:
+    """Pixel coords (..., 2) -> unit ray direction in rig space. util/Camera.h:131-138."""
+    sensor = (pix - cam.principal) / cam.focal
+    unit = sensor_to_camera(cam, sensor)
+    return jnp.einsum("...ji,...j->...i", cam.rotation, unit)
+
+
+def rig_point(cam: Camera, pix: jnp.ndarray, depth) -> jnp.ndarray:
+    """Point along the pixel ray at ``depth`` (rig space). util/Camera.h:141-143."""
+    d = jnp.asarray(depth)
+    return cam.position + ray_dir(cam, pix) * d[..., None]
+
+
+def rig_near_infinity(cam: Camera, pix: jnp.ndarray) -> jnp.ndarray:
+    return rig_point(cam, pix, jnp.asarray(KNEAR_INFINITY))
+
+
+def is_behind(cam: Camera, rig_pts: jnp.ndarray) -> jnp.ndarray:
+    v = rig_pts - cam.position
+    return jnp.einsum("...j,...j->...", cam.backward, v) >= 0
+
+
+def is_outside_fov(cam: Camera, rig_pts: jnp.ndarray) -> jnp.ndarray:
+    """FOV cone test. util/Camera.h:154-164 (general form covers cosFov == 0)."""
+    v = rig_pts - cam.position
+    dot = jnp.einsum("...j,...j->...", cam.forward, v)
+    cf = _expand(cam.cos_fov, dot.ndim)
+    outside = dot * jnp.abs(dot) <= cf * jnp.abs(cf) * jnp.sum(v * v, axis=-1)
+    return jnp.where(cf == -1.0, False, outside)
+
+
+def is_outside_sensor(cam: Camera, pix: jnp.ndarray) -> jnp.ndarray:
+    res = cam.resolution
+    return (
+        (pix[..., 0] < 0)
+        | (pix[..., 0] >= res[..., 0])
+        | (pix[..., 1] < 0)
+        | (pix[..., 1] >= res[..., 1])
+    )
+
+
+def sees(cam: Camera, rig_pts: jnp.ndarray):
+    """Project and validity-test in one pass. util/Camera.h:184-190.
+
+    Returns (pix, valid); invalid pixels still hold the projected value.
+    """
+    pix = pixel(cam, rig_pts)
+    valid = ~is_outside_fov(cam, rig_pts) & ~is_outside_sensor(cam, pix)
+    return pix, valid
+
+
+def default_cos_fov(type_code: int) -> float:
+    """util/Camera.cpp:190-198: hemisphere for RECTILINEAR/ORTHOGRAPHIC, else sphere."""
+    return 0.0 if type_code in (RECTILINEAR, ORTHOGRAPHIC) else -1.0
+
+
+def is_default_fov(cam: Camera) -> jnp.ndarray:
+    default = jnp.where(
+        (cam.type_code == RECTILINEAR) | (cam.type_code == ORTHOGRAPHIC), 0.0, -1.0
+    )
+    return cam.cos_fov == default
+
+
+def is_outside_image_circle(cam: Camera, pix: jnp.ndarray) -> jnp.ndarray:
+    """util/Camera.h:166-178: compare sensor radius to the FOV-cone edge radius."""
+    cf = cam.cos_fov
+    sin_fov = jnp.sqrt(jnp.maximum(1.0 - cf * cf, 0.0))
+    edge_dir = jnp.stack([jnp.zeros_like(sin_fov), sin_fov, -cf], axis=-1)
+    edge = camera_to_sensor(cam, edge_dir)
+    edge_sq = jnp.sum(edge * edge, axis=-1)
+    sensor = (pix - cam.principal) / cam.focal
+    sensor_sq = jnp.sum(sensor * sensor, axis=-1)
+    outside = sensor_sq >= _expand(edge_sq, sensor_sq.ndim)
+    return jnp.where(_expand(is_default_fov(cam), sensor_sq.ndim), False, outside)
+
+
+def rescale(cam: Camera, new_resolution) -> Camera:
+    """util/Camera.cpp:217-223."""
+    new_res = jnp.asarray(new_resolution, dtype=cam.resolution.dtype)
+    scale = new_res / cam.resolution
+    return cam._replace(
+        principal=cam.principal * scale, focal=cam.focal * scale, resolution=new_res
+    )
+
+
+def normalize(cam: Camera) -> Camera:
+    """Resolution-independent form (resolution == [1,1]). util/Camera.cpp:225-229."""
+    return cam._replace(
+        principal=cam.principal / cam.resolution,
+        focal=cam.focal / cam.resolution,
+        resolution=jnp.ones_like(cam.resolution),
+    )
+
+
+def is_normalized(cam: Camera) -> bool:
+    return bool(np.all(np.asarray(cam.resolution) == 1.0))
+
+
+# ---------------------------------------------------------------------------
+# Host-side construction & JSON rig IO (mirrors util/Camera.cpp:30-75,244-313)
+# ---------------------------------------------------------------------------
+
+
+def _solve_distortion_max(distortion: np.ndarray) -> float:
+    """Smallest r>0 where distort'(r) = 0, via the derivative polynomial in
+    y=r^2: 1 + 3 d0 y + 5 d1 y^2 + 7 d2 y^3. util/Camera.cpp:119-154."""
+    d = np.asarray(distortion, dtype=np.float64)
+    if not d.any():
+        return np.inf
+    count = len(d)
+    while count > 0 and d[count - 1] == 0:
+        count -= 1
+    coeffs = [1.0] + [d[i] * (2 * i + 3) for i in range(count)]
+    roots = np.roots(coeffs[::-1])  # np.roots wants highest-degree first
+    best = np.inf
+    for root in roots:
+        if abs(root.imag) < 1e-12 and root.real > 0:
+            best = min(best, root.real)
+    return float(np.sqrt(best)) if np.isfinite(best) else np.inf
+
+
+def _orthonormalize(rotation: np.ndarray) -> np.ndarray:
+    """Project to the nearest rotation matrix (the reference round-trips
+    through AngleAxis for the same effect, util/Camera.cpp:77-87)."""
+    u, _, vt = np.linalg.svd(rotation)
+    r = u @ vt
+    if np.linalg.det(r) < 0:
+        u[:, -1] *= -1
+        r = u @ vt
+    return r
+
+
+def make_camera(
+    type_code: int,
+    position,
+    rotation,
+    resolution,
+    focal,
+    principal=None,
+    distortion=(0.0, 0.0, 0.0),
+    cos_fov: float | None = None,
+    dtype=np.float64,
+) -> Camera:
+    """Host-side constructor with rotation orthonormalization and
+    distortionMax root-solve; returns a device-ready pytree."""
+    position = np.asarray(position, dtype)
+    rotation = _orthonormalize(np.asarray(rotation, dtype))
+    resolution = np.asarray(resolution, dtype)
+    focal = np.asarray(focal, dtype)
+    principal = resolution / 2 if principal is None else np.asarray(principal, dtype)
+    distortion = np.asarray(distortion, dtype)
+    if distortion.shape[0] < 3:
+        distortion = np.pad(distortion, (0, 3 - distortion.shape[0]))
+    if cos_fov is None:
+        cos_fov = default_cos_fov(type_code)
+    return Camera(
+        type_code=np.asarray(type_code, np.int32),
+        position=position,
+        rotation=rotation,
+        resolution=resolution,
+        principal=principal,
+        focal=focal,
+        distortion=distortion,
+        distortion_max=np.asarray(_solve_distortion_max(distortion), dtype),
+        cos_fov=np.asarray(cos_fov, dtype),
+    )
+
+
+def camera_from_json(obj: dict, dtype=np.float64) -> tuple[Camera, str, str]:
+    """Parse one camera dict (rig JSON schema, util/Camera.cpp:30-75).
+
+    Returns (camera, id, group).
+    """
+    assert float(obj["version"]) >= 1.0, "unsupported rig version"
+    type_code = _TYPE_NAMES.index(obj["type"])
+    forward = np.asarray(obj["forward"], np.float64)
+    up = np.asarray(obj["up"], np.float64)
+    right = np.asarray(obj["right"], np.float64)
+    # rows: right, up, -forward (util/Camera.cpp:77-81); must be right-handed
+    assert np.cross(right, up).dot(forward) < 0, "rotation must be right-handed"
+    rotation = np.stack([right, up, -forward])
+    cos_fov = np.cos(float(obj["fov"])) if "fov" in obj else None
+    cam = make_camera(
+        type_code=type_code,
+        position=obj["origin"],
+        rotation=rotation,
+        resolution=obj["resolution"],
+        focal=obj["focal"],
+        principal=obj.get("principal"),
+        distortion=obj.get("distortion", (0.0, 0.0, 0.0)),
+        cos_fov=cos_fov,
+        dtype=dtype,
+    )
+    return cam, obj["id"], obj.get("group", "")
+
+
+def camera_to_json(cam: Camera, cam_id: str, group: str = "") -> dict:
+    """Serialize one camera. util/Camera.cpp:158-177."""
+    cam_np = jax.tree.map(np.asarray, cam)
+    out: dict[str, Any] = {
+        "version": 1,
+        "type": _TYPE_NAMES[int(cam_np.type_code)],
+        "origin": cam_np.position.tolist(),
+        "forward": (-cam_np.rotation[2]).tolist(),
+        "up": cam_np.rotation[1].tolist(),
+        "right": cam_np.rotation[0].tolist(),
+        "resolution": cam_np.resolution.tolist(),
+        "focal": cam_np.focal.tolist(),
+        "id": cam_id,
+    }
+    if not np.array_equal(cam_np.principal, cam_np.resolution / 2):
+        out["principal"] = cam_np.principal.tolist()
+    if cam_np.distortion.any():
+        out["distortion"] = cam_np.distortion.tolist()
+    default = default_cos_fov(int(cam_np.type_code))
+    if float(cam_np.cos_fov) != default:
+        out["fov"] = float(np.arccos(cam_np.cos_fov))
+    if group:
+        out["group"] = group
+    return out
+
+
+class Rig(NamedTuple):
+    """A stacked rig: ``cameras`` has a leading axis of size len(ids)."""
+
+    cameras: Camera
+    ids: tuple[str, ...]
+    groups: tuple[str, ...]
+
+    def __len__(self):
+        return len(self.ids)
+
+    def camera(self, i: int) -> Camera:
+        return jax.tree.map(lambda a: a[i], self.cameras)
+
+    def find(self, cam_id: str) -> int:
+        return self.ids.index(cam_id)
+
+    def subset(self, indices: Sequence[int]) -> "Rig":
+        idx = np.asarray(list(indices))
+        return Rig(
+            cameras=jax.tree.map(lambda a: np.asarray(a)[idx], self.cameras),
+            ids=tuple(self.ids[i] for i in indices),
+            groups=tuple(self.groups[i] for i in indices),
+        )
+
+
+def stack_cameras(cams: Sequence[Camera]) -> Camera:
+    return jax.tree.map(lambda *xs: np.stack(xs), *cams)
+
+
+def load_rig_from_json_str(text: str, dtype=np.float64) -> Rig:
+    obj = json.loads(text)
+    parsed = [camera_from_json(c, dtype) for c in obj["cameras"]]
+    return Rig(
+        cameras=stack_cameras([p[0] for p in parsed]),
+        ids=tuple(p[1] for p in parsed),
+        groups=tuple(p[2] for p in parsed),
+    )
+
+
+def load_rig(path, dtype=np.float64) -> Rig:
+    with open(path) as f:
+        return load_rig_from_json_str(f.read(), dtype)
+
+
+def save_rig(path, rig: Rig, comments: Sequence[str] = ()) -> None:
+    cams = [camera_to_json(rig.camera(i), rig.ids[i], rig.groups[i]) for i in range(len(rig))]
+    obj: dict[str, Any] = {"cameras": cams}
+    if comments:
+        obj["comments"] = list(comments)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2, sort_keys=True)
+
+
+def normalize_rig(rig: Rig) -> Rig:
+    return rig._replace(cameras=jax.vmap(normalize)(jax.tree.map(jnp.asarray, rig.cameras)))
+
+
+def rescale_rig(rig: Rig, new_resolution) -> Rig:
+    res = jnp.asarray(new_resolution)
+    cams = jax.tree.map(jnp.asarray, rig.cameras)
+    return rig._replace(cameras=jax.vmap(lambda c: rescale(c, res))(cams))
+
+
+def filter_destinations(rig: Rig, destinations: str) -> Rig:
+    """Comma-separated id subset, preserving request order. util/ImageUtil.cpp:110-125."""
+    if not destinations:
+        return rig
+    wanted = [d for d in destinations.split(",") if d]
+    indices = [rig.find(d) for d in wanted if d in rig.ids]
+    return rig.subset(indices)
+
+
+def map_src_to_dst_indexes(rig_src: Rig, rig_dst: Rig) -> np.ndarray:
+    """For each dst camera, its index in the src rig. DerpUtil.cpp:75-88."""
+    return np.asarray([rig_src.find(d) for d in rig_dst.ids], np.int32)
+
+
+def perturb_cameras(
+    rig: Rig,
+    pos_amount: float = 0.0,
+    rot_amount: float = 0.0,
+    principal_amount: float = 0.0,
+    focal_amount: float = 0.0,
+    seed: int = 0,
+) -> Rig:
+    """Synthetic-experiment rig perturbation (first camera pose fixed).
+
+    util/Camera.h:213-232 / util/Camera.cpp:260-280.
+    """
+    rng = np.random.RandomState(seed)
+
+    def jitter(v, amount):
+        return v + amount * 2 * (rng.rand(*np.shape(v)) - 0.5)
+
+    cams = []
+    for i in range(len(rig)):
+        cam = jax.tree.map(np.asarray, rig.camera(i))
+        position, rotation = cam.position, cam.rotation
+        if i != 0:
+            position = jitter(position, pos_amount)
+            angle_axis = _rotation_to_angle_axis(rotation)
+            rotation = _angle_axis_to_rotation(jitter(angle_axis, rot_amount))
+        principal = jitter(cam.principal, principal_amount)
+        focal = cam.focal
+        if focal_amount != 0:
+            scalar = float(jitter(focal[0], focal_amount))
+            focal = np.asarray([scalar, -scalar], focal.dtype)
+        cams.append(cam._replace(position=position, rotation=rotation, principal=principal, focal=focal))
+    return rig._replace(cameras=stack_cameras(cams))
+
+
+def _rotation_to_angle_axis(r: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_matrix(r).as_rotvec()
+
+
+def _angle_axis_to_rotation(rotvec: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_rotvec(rotvec).as_matrix()

@@ -1,0 +1,199 @@
+"""Fused plane-sweep matching cost — the hot path of depth estimation.
+
+The reference evaluates a per-pixel, per-hypothesis patch SSD in a scalar
+C++ loop (``depth_estimation/Derp.cpp:104-226`` computeCost +
+``DerpUtil.cpp:126-162`` computeSSD), threaded over rows and disparity
+hypotheses. Here the same cost is computed for ALL pixels of a destination
+camera at once, as a chain of fused vector ops:
+
+  1. unproject every dst pixel at the hypothesis disparity and project into a
+     src camera (vectorized camera math; Derp.cpp:144-162),
+  2. one bilinear gather from the src image (replacing the reference's
+     infinity-warp + projected-color double indirection — sampling the source
+     directly at the reprojection is the same parallax correction with one
+     less interpolation; Derp.cpp:176-196),
+  3. per-pixel squared color differences, 3x3 box sums for the biased SSD,
+     and the identity  unbiased = biased - n * |patch-mean diff|^2
+     (the reference's bias compensation, DerpUtil.cpp:136-152, with the patch
+     mean playing the role of the blurred color bias),
+  4. across cameras: drop the two worst biased SSDs, average the unbiased
+     SSDs of the keepers, divide by keep (trust) and by local variance
+     (confidence) — Derp.cpp:203-225.
+
+Everything is (N_src, H, W)-shaped; XLA fuses steps 2-3 and the cross-camera
+reduction rides a single small sort over the N_src axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam
+from . import sampling
+
+# Algorithm constants (Derp.h:26-48)
+SEARCH_WINDOW_RADIUS = 1
+MIN_OVERLAPPING_CAMS = 2
+NUM_DEPTHS = 150
+RANDOM_PROP_MAX_COST = 5.0
+RANDOM_PROP_HIGH_VAR_DEVIATION = 0.1
+MIN_VAR = 1.0 / 12.0 / 65025.0
+LEVEL_SCALE = 0.9
+FLT_MAX = jnp.finfo(jnp.float32).max
+
+
+class CostContext(NamedTuple):
+    """Device-resident state for evaluating costs of one destination camera."""
+
+    cam_dst: cam.Camera  # normalized
+    src_cams: cam.Camera  # stacked (N,), normalized
+    dst_img: jnp.ndarray  # (H, W, 3) float in [0,1]
+    src_imgs: jnp.ndarray  # (N, Hs, Ws, 3)
+    variance: jnp.ndarray  # (H, W) dst color variance
+    exclude_idx: jnp.ndarray  # () int32: index of dst within src rig
+
+
+def probe_disparities(num: int, min_disparity: float, max_disparity: float) -> jnp.ndarray:
+    """Uniform-in-disparity probe schedule, probe 0 = closest depth.
+    util/ImageUtil.cpp:100-107."""
+    fraction = jnp.arange(num, dtype=jnp.float32) / (num - 1)
+    return fraction * min_disparity + (1 - fraction) * max_disparity
+
+
+def reproject_to_src(cam_dst, cam_src, disparity, dst_hw, src_hw):
+    """Per-pixel src sampling coords for a disparity map (or scalar).
+
+    Returns ((H, W, 2) coords in src pixel units, (H, W) validity).
+    Derp.cpp:144-162 (dstToWorldPoint -> worldToSrcPoint).
+    """
+    h, w = dst_hw
+    hs, ws = src_hw
+    grid = sampling.pixel_center_grid(h, w)
+    pix_norm = grid / jnp.asarray([w, h], jnp.float32)
+    disparity = jnp.broadcast_to(jnp.asarray(disparity, jnp.float32), (h, w))
+    depth = 1.0 / jnp.maximum(disparity, 1e-12)
+    world = cam.rig_point(cam_dst, pix_norm, depth)
+    src_pix, valid = cam.sees(cam_src, world)
+    coords = src_pix * jnp.asarray([ws, hs], jnp.float32)
+    valid &= disparity > 0
+    return coords, valid
+
+
+def per_src_ssd(cam_dst, cam_src, dst_img, src_img, disparity, radius=SEARCH_WINDOW_RADIUS):
+    """Biased & bias-compensated patch SSD maps for one src camera.
+
+    Returns (biased, unbiased, valid), each (H, W). Patch terms whose own
+    reprojection is invalid are excluded via masked normalization (the
+    reference instead clamps out-of-range samples; differences appear only in
+    the 1-2 px band at src FOV edges).
+    """
+    h, w = dst_img.shape[:2]
+    coords, valid = reproject_to_src(cam_dst, cam_src, disparity, (h, w), src_img.shape[:2])
+    sampled = sampling.bilinear_sample(src_img[..., :3], coords)
+    validf = valid.astype(dst_img.dtype)
+    diff = jnp.where(valid[..., None], dst_img[..., :3] - sampled, 0.0)
+
+    n = (2 * radius + 1) ** 2
+    cnt = sampling.box_sum(validf, radius)
+    cnt_safe = jnp.maximum(cnt, 1.0)
+    scale = n / cnt_safe
+
+    d2 = jnp.sum(diff * diff, axis=-1)
+    biased = sampling.box_sum(d2, radius) * scale
+    mean_diff = sampling.box_sum(diff, radius) / cnt_safe[..., None]
+    unbiased = jnp.maximum(biased - n * jnp.sum(mean_diff * mean_diff, axis=-1), 0.0)
+    return biased, unbiased, valid
+
+
+def combine_ssds(biased, unbiased, valid, variance):
+    """Cross-camera reduction: drop 2 worst by biased SSD, average unbiased,
+    apply trust (1/keep) and confidence (1/max(var, kMinVar)). Derp.cpp:203-225.
+
+    biased/unbiased/valid: (N, H, W); variance: (H, W).
+    Returns (cost, confidence) each (H, W); cost is FLT_MAX where fewer than
+    kMinOverlappingCams-1 cameras see the point.
+    """
+    n = biased.shape[0]
+    biased_key = jnp.where(valid, biased, jnp.inf)
+    order = jnp.argsort(biased_key, axis=0)
+    unb = jnp.where(valid, unbiased, 0.0)
+    unb_sorted = jnp.take_along_axis(unb, order, axis=0)
+    prefix = jnp.cumsum(unb_sorted, axis=0)
+
+    count = jnp.sum(valid, axis=0)
+    min_keep = MIN_OVERLAPPING_CAMS - 1
+    keep = jnp.clip(jnp.maximum(count - 2, min_keep), 1, n)
+    cost_sum = jnp.take_along_axis(prefix, (keep - 1)[None], axis=0)[0]
+    keepf = keep.astype(biased.dtype)
+    confidence = jnp.maximum(variance, MIN_VAR)
+    cost = cost_sum / (keepf * keepf) / confidence
+
+    enough = count >= min_keep
+    cost = jnp.where(enough, cost, FLT_MAX)
+    confidence = jnp.where(enough, confidence, 0.0)
+    return cost, confidence
+
+
+def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Cost + confidence maps for a whole disparity map (or scalar hypothesis)."""
+    n = ctx.src_imgs.shape[0]
+
+    def one(cam_src, src_img):
+        return per_src_ssd(ctx.cam_dst, cam_src, ctx.dst_img, src_img, disparity)
+
+    biased, unbiased, valid = jax.vmap(one)(ctx.src_cams, ctx.src_imgs)
+    not_self = jnp.arange(n) != ctx.exclude_idx
+    valid &= not_self[:, None, None]
+    return combine_ssds(biased, unbiased, valid, ctx.variance)
+
+
+def brute_force_disparity(
+    ctx: CostContext,
+    min_depth: float,
+    max_depth: float,
+    fov_mask: jnp.ndarray,
+    fg_mask: jnp.ndarray,
+    bg_disparity: jnp.ndarray,
+    has_fg_masks: bool,
+    num_depths: int = NUM_DEPTHS,
+):
+    """Plane sweep: scan NUM_DEPTHS hypotheses with a running argmin.
+
+    Derp.cpp:230-401 (computeBruteForceCosts + computeBruteForceDisparity),
+    with the per-hypothesis cost maps produced by the fused kernel above and
+    the argmin folded into the scan carry (no 150-map materialization).
+    Returns (disparity, cost, confidence) maps.
+    """
+    disparities = probe_disparities(num_depths, 1.0 / max_depth, 1.0 / min_depth)
+    h, w = ctx.dst_img.shape[:2]
+
+    def step(carry, d):
+        best_cost, best_disp, best_conf = carry
+        cost, conf = cost_for_disparity(ctx, d)
+        # Foreground pixels must be closer than the background (Derp.cpp:240-242)
+        if has_fg_masks:
+            closer = bg_disparity < d
+            cost = jnp.where(closer, cost, FLT_MAX)
+        better = cost < best_cost
+        return (
+            jnp.where(better, cost, best_cost),
+            jnp.where(better, d, best_disp),
+            jnp.where(better, conf, best_conf),
+        ), None
+
+    init = (
+        jnp.full((h, w), FLT_MAX, jnp.float32),
+        jnp.full((h, w), disparities[-1], jnp.float32),  # min disparity fallback (Derp.cpp:349)
+        jnp.zeros((h, w), jnp.float32),
+    )
+    (best_cost, best_disp, best_conf), _ = jax.lax.scan(step, init, disparities)
+
+    # Masking semantics of Derp.cpp:310-321
+    disparity = jnp.where(fov_mask, best_disp, jnp.nan)
+    if has_fg_masks:
+        disparity = jnp.where(fg_mask | ~fov_mask, disparity, bg_disparity)
+    cost = jnp.where(best_cost == FLT_MAX, jnp.nan, best_cost)
+    return disparity, cost, best_conf
