@@ -1,0 +1,147 @@
+"""ConvertToBinary equivalent: disparity -> simplified mesh (.vtx/.idx),
+color -> BC7/RGBA, plus striped fusion + catalog.
+
+Flags mirror ``mesh_stream/ConvertToBinary.cpp:63-86``; flow follows
+convertDepth/convertColor (:118-230) and the fusion step (:281-301).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+from ..core import camera as cam, io
+from ..stream import fusion, mesh, native
+
+log = logging.getLogger("convert")
+
+FLT_MIN = float(np.finfo(np.float32).tiny)
+
+
+def convert_depth(
+    camera, cam_id, disparity, bin_dir, triangles=150000, tear_ratio=0.95,
+    depth_scale=1.0, foreground_mask=None, save_obj=False,
+):
+    depth = 1.0 / disparity
+    if depth_scale < 1:
+        import cv2
+
+        depth = cv2.resize(
+            depth, None, fx=depth_scale, fy=depth_scale, interpolation=cv2.INTER_NEAREST
+        )
+    h, w = depth.shape
+    vertexes = mesh.get_vertexes_equi_error(depth, camera)
+    faces = mesh.get_faces(vertexes, w, h, tear_ratio=tear_ratio)
+    vertex_mask = np.isfinite(depth)
+    if foreground_mask is not None:
+        import cv2
+
+        fg = cv2.resize(
+            foreground_mask.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
+        ).astype(bool)
+        vertex_mask &= fg
+    vertexes, faces = mesh.apply_mask(vertexes, faces, vertex_mask)
+    if triangles > 0 and len(faces) > triangles:
+        vertexes, faces = native.simplify_mesh(vertexes, faces, triangles, strictness=0.2)
+        # slightly negative depths blow up to -inf in the viewer's inverse
+        vertexes[:, 2] = np.where(vertexes[:, 2] < 0, FLT_MIN, vertexes[:, 2])
+    out_dir = os.path.join(bin_dir, cam_id)
+    os.makedirs(out_dir, exist_ok=True)
+    frame = None  # caller writes by filename below
+    return vertexes, faces
+
+
+def gamma_correct_to_rgba8(color: np.ndarray, gamma_correction: float) -> np.ndarray:
+    """Float RGB [0,1] -> gamma-corrected RGBA8 (BC7Util.h:41-66)."""
+    rgb = (np.power(np.clip(color[..., :3], 0, 1), gamma_correction) * 255.0 + 0.5).astype(np.uint8)
+    alpha = np.full(rgb.shape[:2] + (1,), 255, np.uint8)
+    return np.concatenate([rgb, alpha], axis=-1)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--rig", required=True)
+    p.add_argument("--bin", required=True, help="output binary directory")
+    p.add_argument("--color", default="")
+    p.add_argument("--disparity", default="")
+    p.add_argument("--foreground_masks", default="")
+    p.add_argument("--fused", default="", help="output fused directory (enables fusion)")
+    p.add_argument("--cameras", default="")
+    p.add_argument("--first", default="000000")
+    p.add_argument("--last", default="000000")
+    p.add_argument("--output_formats", default="vtx,idx,bc7", help="vtx,idx,pfm,obj,bc7,rgba")
+    p.add_argument("--triangles", type=int, default=150000)
+    p.add_argument("--tear_ratio", type=float, default=0.95)
+    p.add_argument("--color_scale", type=float, default=1.0)
+    p.add_argument("--depth_scale", type=float, default=1.0)
+    p.add_argument("--gamma_correction", type=float, default=2.2 / 1.8)
+    p.add_argument("--run_conversion", type=lambda v: str(v).lower() in ("1", "true"), default=True)
+    p.add_argument("--num_disks", type=int, default=1)
+    p.add_argument("--threads", type=int, default=-1)
+    args = p.parse_args(argv)
+
+    rig = cam.filter_destinations(cam.load_rig(args.rig), args.cameras)
+    formats = {f.strip() for f in args.output_formats.split(",") if f.strip()}
+    frames = [io.frame_name(f) for f in range(int(args.first), int(args.last) + 1)]
+
+    def load(root, cam_id, frame, loader):
+        d = os.path.join(root, cam_id)
+        probe = io.first_image_in(d)
+        assert probe, f"no images in {d}"
+        ext = os.path.splitext(probe)[1]
+        return loader(os.path.join(d, frame + ext))
+
+    if args.run_conversion:
+        for frame in frames:
+            for i, cam_id in enumerate(rig.ids):
+                out_dir = os.path.join(args.bin, cam_id)
+                os.makedirs(out_dir, exist_ok=True)
+                if args.disparity and formats & {"vtx", "idx", "obj", "pfm"}:
+                    disp = load(args.disparity, cam_id, frame, io.read_disparity)
+                    fg = (
+                        load(args.foreground_masks, cam_id, frame, io.read_mask)
+                        if args.foreground_masks
+                        else None
+                    )
+                    v, f = convert_depth(
+                        rig.camera(i), cam_id, disp, args.bin,
+                        triangles=args.triangles, tear_ratio=args.tear_ratio,
+                        depth_scale=args.depth_scale, foreground_mask=fg,
+                    )
+                    log.info("%s %s: %d vertices, %d faces", cam_id, frame, len(v), len(f))
+                    if formats & {"vtx", "idx"}:
+                        mesh.write_vtx_idx(
+                            os.path.join(out_dir, frame + ".vtx"),
+                            os.path.join(out_dir, frame + ".idx"),
+                            v, f,
+                        )
+                    if "obj" in formats:
+                        mesh.write_obj(os.path.join(out_dir, frame + ".obj"), v, f)
+                if args.color and formats & {"bc7", "rgba"}:
+                    color = load(args.color, cam_id, frame, io.read_color)
+                    if args.color_scale < 1:
+                        color = io.resize_image(
+                            color,
+                            (int(color.shape[1] * args.color_scale), int(color.shape[0] * args.color_scale)),
+                        )
+                    # crop to 4px multiples for block compression
+                    h4, w4 = color.shape[0] // 4 * 4, color.shape[1] // 4 * 4
+                    rgba = gamma_correct_to_rgba8(color[:h4, :w4], args.gamma_correction)
+                    if "bc7" in formats:
+                        blocks = native.compress_bc7(rgba)
+                        blocks.tofile(os.path.join(out_dir, frame + ".bc7"))
+                    if "rgba" in formats:
+                        rgba.tofile(os.path.join(out_dir, frame + ".rgba"))
+
+    if args.fused:
+        exts = [f".{f}" for f in ("vtx", "idx", "bc7", "rgba") if f in formats]
+        fusion.fuse_frames(args.bin, args.fused, rig.ids, frames, exts, args.num_disks)
+        log.info("fused %d frames into %s", len(frames), args.fused)
+
+
+if __name__ == "__main__":
+    main()

@@ -434,7 +434,10 @@ class Rig(NamedTuple):
     ids: tuple[str, ...]
     groups: tuple[str, ...]
 
-    def __len__(self):
+    # NOTE: do not define __len__ — NamedTuple._replace validates field count
+    # with len() and would break.
+    @property
+    def num_cameras(self) -> int:
         return len(self.ids)
 
     def camera(self, i: int) -> Camera:
@@ -472,7 +475,7 @@ def load_rig(path, dtype=np.float64) -> Rig:
 
 
 def save_rig(path, rig: Rig, comments: Sequence[str] = ()) -> None:
-    cams = [camera_to_json(rig.camera(i), rig.ids[i], rig.groups[i]) for i in range(len(rig))]
+    cams = [camera_to_json(rig.camera(i), rig.ids[i], rig.groups[i]) for i in range(len(rig.ids))]
     obj: dict[str, Any] = {"cameras": cams}
     if comments:
         obj["comments"] = list(comments)
@@ -522,7 +525,7 @@ def perturb_cameras(
         return v + amount * 2 * (rng.rand(*np.shape(v)) - 0.5)
 
     cams = []
-    for i in range(len(rig)):
+    for i in range(len(rig.ids)):
         cam = jax.tree.map(np.asarray, rig.camera(i))
         position, rotation = cam.position, cam.rotation
         if i != 0:

@@ -1,0 +1,383 @@
+"""Per-level disparity solver: the TPU-native re-design of "Derp".
+
+The reference's processLevel (``depth_estimation/Derp.cpp:1005-1034``) runs,
+per pyramid level:
+
+  reprojectColors -> brute force (coarsest only) -> randomProposals ->
+  pingPongPropagation -> handleDisparityMismatches -> bilateralFilter ->
+  medianFilter -> maskFov
+
+Everything here is a pure jit-able function over a LevelContext of stacked
+device arrays. Data-parallel redesigns vs the reference:
+
+- Brute force: lax.scan over 150 hypotheses with a running argmin instead of
+  150 threaded cost maps (Derp.cpp:264-401).
+- Random proposals: per-pixel threefry draws evaluated as whole-image cost
+  maps, amplitude-halving carried through a scan (Derp.cpp:750-873; the
+  reference seeds per row for thread-count determinism, we key on
+  (level, proposal) for the same property).
+- Ping-pong: Jacobi sweeps — all 9 star-template candidates (DerpUtil.h:34-43)
+  evaluated as shifted disparity maps per iteration, instead of serial row
+  scans with a changed mask (Derp.cpp:403-551). Convergence per iteration is
+  slightly weaker than the serial sweep; iterations are configurable.
+- Mismatch handling: the cross-camera agreement test vectorized over the
+  (src, pixel) axes with a small sort for the mismatch median
+  (Derp.cpp:553-748).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam
+from ..ops import cost as cost_ops
+from ..ops import filters, sampling
+from ..ops.cost import FLT_MAX, CostContext
+
+
+class LevelContext(NamedTuple):
+    """Device-resident state for one (frame, level)."""
+
+    src_cams: cam.Camera  # stacked (N,), normalized
+    dst_cams: cam.Camera  # stacked (D,), normalized
+    dst2src: jnp.ndarray  # (D,) int32
+    src_imgs: jnp.ndarray  # (N, H, W, 3) float32 [0,1]
+    src_variance: jnp.ndarray  # (N, H, W)
+    dst_fov_masks: jnp.ndarray  # (D, H, W) bool
+    dst_fg_masks: jnp.ndarray  # (D, H, W) bool
+    dst_bg_disp: jnp.ndarray  # (D, H, W)
+    var_noise_floor: jnp.ndarray  # () level-scaled (PyramidLevel.h:232-236)
+    var_high_thresh: jnp.ndarray  # ()
+
+
+class SolverConfig(NamedTuple):
+    """Static solve parameters (one jit specialization per value set)."""
+
+    min_depth: float = 0.5
+    max_depth: float = 1e4
+    num_random_proposals: int = 2
+    ping_pong_iterations: int = 1
+    mismatches_start_level: int = -1
+    do_bilateral_filter: bool = True
+    do_median_filter: bool = True
+    has_fg_masks: bool = False
+    level: int = 0
+    num_levels: int = 1
+
+
+def make_level_context(
+    rig_src,
+    rig_dst,
+    src_imgs,
+    dst_fov_masks,
+    dst_fg_masks=None,
+    dst_bg_disp=None,
+    src_fg_masks=None,
+    var_noise_floor=4e-5,
+    var_high_thresh=1e-3,
+    full_height=None,
+) -> LevelContext:
+    """Build the device context (computes per-src variance; PyramidLevel.h:232-247)."""
+    src_imgs = jnp.asarray(src_imgs, jnp.float32)
+    n, h, w = src_imgs.shape[:3]
+    d = len(rig_dst.ids)
+    variance = jax.vmap(lambda img: sampling.rgb_variance(img))(src_imgs)
+    if dst_fg_masks is None:
+        dst_fg_masks = jnp.ones((d, h, w), bool)
+    if dst_bg_disp is None:
+        dst_bg_disp = jnp.zeros((d, h, w), jnp.float32)
+    full_height = full_height if full_height is not None else h
+    # Variance noise floor scales with the square of (level width / full height)
+    # — reference parity: PyramidLevel.h:232-236.
+    scale = w / float(full_height)
+    floor = jnp.maximum(var_noise_floor * scale * scale, cost_ops.MIN_VAR)
+
+    def to_f32(c):
+        return jax.tree.map(lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else jnp.asarray(a), c)
+
+    return LevelContext(
+        src_cams=to_f32(rig_src.cameras),
+        dst_cams=to_f32(rig_dst.cameras),
+        dst2src=jnp.asarray(cam.map_src_to_dst_indexes(rig_src, rig_dst)),
+        src_imgs=src_imgs,
+        src_variance=variance,
+        dst_fov_masks=jnp.asarray(dst_fov_masks, bool),
+        dst_fg_masks=jnp.asarray(dst_fg_masks, bool),
+        dst_bg_disp=jnp.asarray(dst_bg_disp, jnp.float32),
+        var_noise_floor=jnp.asarray(floor, jnp.float32),
+        var_high_thresh=jnp.asarray(var_high_thresh, jnp.float32),
+    )
+
+
+def _cost_ctx(ctx: LevelContext, dst_idx) -> CostContext:
+    src_idx = ctx.dst2src[dst_idx]
+    return CostContext(
+        cam_dst=jax.tree.map(lambda a: a[dst_idx], ctx.dst_cams),
+        src_cams=ctx.src_cams,
+        dst_img=ctx.src_imgs[src_idx],
+        src_imgs=ctx.src_imgs,
+        variance=ctx.src_variance[src_idx],
+        exclude_idx=src_idx,
+    )
+
+
+def brute_force_all(ctx: LevelContext, cfg: SolverConfig):
+    """Coarsest-level initialization for every dst camera (Derp.cpp:384-401)."""
+
+    def one(dst_idx):
+        return cost_ops.brute_force_disparity(
+            _cost_ctx(ctx, dst_idx),
+            cfg.min_depth,
+            cfg.max_depth,
+            ctx.dst_fov_masks[dst_idx],
+            ctx.dst_fg_masks[dst_idx],
+            ctx.dst_bg_disp[dst_idx],
+            cfg.has_fg_masks,
+        )
+
+    return jax.lax.map(one, jnp.arange(len(ctx.dst2src)))
+
+
+def random_proposals(ctx: LevelContext, cfg: SolverConfig, disparity, costs, confidences, key):
+    """Per-pixel randomized refinement (Derp.cpp:750-873), one dst at a time
+    via lax.map; the proposal loop is a scan carrying (disp, cost, amplitude)."""
+    if cfg.num_random_proposals <= 0:
+        return disparity, costs, confidences
+
+    max_disp = 1.0 / cfg.min_depth
+    var_high_dev = cost_ops.RANDOM_PROP_HIGH_VAR_DEVIATION * ctx.var_high_thresh
+    var_thresh = jnp.maximum(var_high_dev, ctx.var_noise_floor)
+
+    def one(args):
+        dst_idx, disp0, key = args
+        cctx = _cost_ctx(ctx, dst_idx)
+        fov = ctx.dst_fov_masks[dst_idx]
+        fg = ctx.dst_fg_masks[dst_idx]
+        bg = ctx.dst_bg_disp[dst_idx]
+        variance = cctx.variance
+        min_disp = bg if cfg.has_fg_masks else jnp.full_like(bg, 1.0 / cfg.max_depth)
+
+        active = fov & fg & (variance >= var_thresh)
+        cost0, conf0 = cost_ops.cost_for_disparity(cctx, disp0)
+        cost_thresh = jnp.minimum(0.5 * cost0, cost_ops.RANDOM_PROP_MAX_COST)
+        amplitude0 = (max_disp - min_disp) / 2.0
+
+        def step(carry, k):
+            disp, cost, conf, amp = carry
+            lo = jnp.maximum(min_disp, disp - amp)
+            hi = jnp.minimum(max_disp, disp + amp)
+            u = jax.random.uniform(k, disp.shape, disp.dtype)
+            prop = lo + u * (hi - lo)
+            pcost, pconf = cost_ops.cost_for_disparity(cctx, jnp.where(active, prop, disp))
+            accept = active & (pcost < cost) & (pcost < cost_thresh)
+            return (
+                jnp.where(accept, prop, disp),
+                jnp.where(accept, pcost, cost),
+                jnp.where(accept, pconf, conf),
+                jnp.where(accept, amp / 2.0, amp),
+            ), None
+
+        keys = jax.random.split(key, cfg.num_random_proposals)
+        (disp, cost, conf, _), _ = jax.lax.scan(step, (disp0, cost0, conf0, amplitude0), keys)
+
+        disp = jnp.where(active, disp, disp0)
+        if cfg.has_fg_masks:
+            disp = jnp.where(fg | ~fov, disp, bg)
+        return disp, jnp.where(active, cost, cost0), jnp.where(active, conf, conf0)
+
+    d = len(ctx.dst2src)
+    keys = jax.random.split(key, d)
+    return jax.lax.map(one, (jnp.arange(d), disparity, keys))
+
+
+# PatchMatch star template (DerpUtil.h:34-43)
+PING_PONG_OFFSETS = ((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1), (-2, -2), (2, -2), (-2, 2), (2, 2))
+
+
+def ping_pong(ctx: LevelContext, cfg: SolverConfig, disparity, costs, confidences):
+    """Jacobi spatial propagation: evaluate all star-template candidate
+    disparity maps, keep the best per pixel (Derp.cpp:403-551)."""
+    if cfg.ping_pong_iterations <= 0:
+        return disparity, costs, confidences
+
+    def one(args):
+        dst_idx, disp0, cost_in, conf_in = args
+        cctx = _cost_ctx(ctx, dst_idx)
+        fov = ctx.dst_fov_masks[dst_idx]
+        fg = ctx.dst_fg_masks[dst_idx]
+        bg = ctx.dst_bg_disp[dst_idx]
+        variance = cctx.variance
+        active = fov & fg & (variance >= ctx.var_noise_floor)
+        bg_floor = bg if cfg.has_fg_masks else jnp.zeros_like(bg)
+
+        def iteration(state, _):
+            disp, cost, conf = state
+            best_cost = jnp.full_like(cost, jnp.inf)
+            best_disp = disp
+            best_conf = conf
+            for dy, dx in PING_PONG_OFFSETS:
+                cand = filters._shift(disp, dy, dx)
+                cand_fov = filters._shift(fov, dy, dx)
+                ok = cand_fov & (cand >= bg_floor) & jnp.isfinite(cand)
+                ccost, cconf = cost_ops.cost_for_disparity(cctx, jnp.where(ok, cand, disp))
+                ccost = jnp.where(ok, ccost, jnp.inf)
+                better = ccost < best_cost
+                best_cost = jnp.where(better, ccost, best_cost)
+                best_disp = jnp.where(better, cand, best_disp)
+                best_conf = jnp.where(better, cconf, best_conf)
+            disp = jnp.where(active, best_disp, disp)
+            cost = jnp.where(active, best_cost, cost)
+            conf = jnp.where(active, best_conf, conf)
+            return (disp, cost, conf), None
+
+        (disp, cost, conf), _ = jax.lax.scan(
+            iteration, (disp0, cost_in, conf_in), None, length=cfg.ping_pong_iterations
+        )
+        if cfg.has_fg_masks:
+            disp = jnp.where(fg | ~fov, disp, bg)
+        return disp, cost, conf
+
+    d = len(ctx.dst2src)
+    return jax.lax.map(one, (jnp.arange(d), disparity, costs, confidences))
+
+
+def handle_mismatches(ctx: LevelContext, cfg: SolverConfig, disparity, full_disparity=None):
+    """Cross-camera consistency (Derp.cpp:553-748): project each dst pixel's
+    depth into every other camera's disparity map; with <1 agreeing camera,
+    replace with the median of the farther mismatched disparities.
+
+    Requires rigDst == rigSrc (as the reference CHECKs). ``disparity`` holds
+    this shard's dst maps; ``full_disparity`` is the (N, H, W) all-camera
+    stack (defaults to ``disparity`` single-shard; under shard_map pass the
+    all-gathered stack). Returns (new disparity, mismatch mask).
+    """
+    disparity = jnp.asarray(disparity, jnp.float32)
+    full_disparity = disparity if full_disparity is None else jnp.asarray(full_disparity, jnp.float32)
+    n, h, w = ctx.src_imgs.shape[:3]
+    d = disparity.shape[0]
+    frac = 0.1  # kFractionChange, Derp.cpp:594
+
+    def one(args):
+        dst_idx, disp = args
+        cam_dst = jax.tree.map(lambda a: a[dst_idx], ctx.dst_cams)
+        fov = ctx.dst_fov_masks[dst_idx]
+        fg = ctx.dst_fg_masks[dst_idx]
+        variance = ctx.src_variance[ctx.dst2src[dst_idx]]
+
+        def per_src(src_idx):
+            cam_src = jax.tree.map(lambda a: a[src_idx], ctx.src_cams)
+            coords, valid = cost_ops.reproject_to_src(cam_dst, cam_src, disp, (h, w), (h, w))
+            d_src = sampling.bilinear_sample(full_disparity[src_idx], coords)
+            valid &= src_idx != ctx.dst2src[dst_idx]
+            valid &= jnp.isfinite(d_src)
+            return d_src, valid
+
+        d_srcs, valids = jax.vmap(per_src)(jnp.arange(n))
+        lo, hi = (1 - frac) * disp, (1 + frac) * disp
+        is_match = valids & (d_srcs >= lo) & (d_srcs <= hi)
+        is_mismatch = valids & ~is_match
+        num_match = jnp.sum(is_match, axis=0)
+        num_mismatch = jnp.sum(is_mismatch, axis=0)
+        total = num_match + num_mismatch
+
+        # Median of the mismatched disparities, counted from the far end
+        # (updateDstDisparityAndMismatchMask, Derp.cpp:605-652)
+        mm_vals = jnp.where(is_mismatch, d_srcs, jnp.inf)
+        mm_sorted = jnp.sort(mm_vals, axis=0)
+        closer = jnp.sum(is_mismatch & (d_srcs < disp), axis=0)
+        median_idx = jnp.clip(closer // 2, 0, n - 1)
+        median_val = jnp.take_along_axis(mm_sorted, median_idx[None], axis=0)[0]
+
+        keep = (
+            (total == 0)
+            | (num_match >= cost_ops.MIN_OVERLAPPING_CAMS - 1)
+            | (variance > ctx.var_high_thresh)
+            | (variance < ctx.var_noise_floor)
+        )
+        replace = ~keep & fov & fg
+        new_disp = jnp.where(replace, jnp.minimum(disp, median_val), disp)
+        return new_disp, replace
+
+    return jax.lax.map(one, (jnp.arange(d), disparity))
+
+
+def spatial_bilateral(ctx: LevelContext, cfg: SolverConfig, disparity):
+    """Color-guided joint bilateral on disparity; radius shrinks coarse->fine
+    via kLevelScale (Derp.cpp:875-902)."""
+    scale = cost_ops.LEVEL_SCALE**cfg.level
+    radius = max(
+        int(-(-filters.BILATERAL_SPACE_RADIUS_MAX * scale // 1)),
+        filters.BILATERAL_SPACE_RADIUS_MIN,
+    )
+
+    def one(args):
+        dst_idx, disp = args
+        color = ctx.src_imgs[ctx.dst2src[dst_idx]]
+        mask = ctx.dst_fov_masks[dst_idx] & ctx.dst_fg_masks[dst_idx]
+        filtered = filters.joint_bilateral(disp, color[..., :3], mask, radius)
+        return jnp.where(ctx.dst_fg_masks[dst_idx], filtered, disp)
+
+    return jax.lax.map(one, (jnp.arange(disparity.shape[0]), disparity))
+
+
+def median_filter(ctx: LevelContext, cfg: SolverConfig, disparity):
+    """Masked median blur, radius 1, background-aware (Derp.cpp:904-920)."""
+
+    def one(args):
+        dst_idx, disp = args
+        mask = ctx.dst_fov_masks[dst_idx] & ctx.dst_fg_masks[dst_idx]
+        bg = ctx.dst_bg_disp[dst_idx] if cfg.has_fg_masks else None
+        return filters.masked_median(disp, bg, mask, radius=1)
+
+    return jax.lax.map(one, (jnp.arange(disparity.shape[0]), disparity))
+
+
+def mask_fov(ctx: LevelContext, disparity):
+    """NaN outside the FOV (Derp.cpp:940-951)."""
+    return jnp.where(ctx.dst_fov_masks, disparity, jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def process_level(ctx: LevelContext, cfg: SolverConfig, init_disparity=None, key=None):
+    """Full per-level pipeline (Derp.cpp:1005-1034). ``init_disparity`` is the
+    upsampled coarser-level result (None at the coarsest level).
+
+    Returns dict with disparity/cost/confidence/mismatch-mask maps (D, H, W).
+    """
+    d = len(ctx.dst2src)
+    h, w = ctx.src_imgs.shape[1:3]
+    coarsest = cfg.level == cfg.num_levels - 1
+    if key is None:
+        key = jax.random.PRNGKey(cfg.level)
+
+    if coarsest or init_disparity is None:
+        disparity, costs, confidences = brute_force_all(ctx, cfg)
+    else:
+        disparity = jnp.asarray(init_disparity, jnp.float32)
+        costs = jnp.full((d, h, w), jnp.inf, jnp.float32)
+        confidences = jnp.zeros((d, h, w), jnp.float32)
+
+    mismatch_mask = jnp.zeros((d, h, w), bool)
+    if not coarsest:
+        disparity, costs, confidences = random_proposals(
+            ctx, cfg, disparity, costs, confidences, key
+        )
+        disparity, costs, confidences = ping_pong(ctx, cfg, disparity, costs, confidences)
+        if 0 <= cfg.level <= cfg.mismatches_start_level:
+            disparity, mismatch_mask = handle_mismatches(ctx, cfg, disparity)
+
+    if cfg.do_bilateral_filter:
+        disparity = spatial_bilateral(ctx, cfg, disparity)
+    if cfg.do_median_filter:
+        disparity = median_filter(ctx, cfg, disparity)
+    disparity = mask_fov(ctx, disparity)
+    return {
+        "disparity": disparity,
+        "cost": costs,
+        "confidence": confidences,
+        "mismatches": mismatch_mask,
+    }

@@ -78,7 +78,7 @@ def reproject_to_src(cam_dst, cam_src, disparity, dst_hw, src_hw):
     world = cam.rig_point(cam_dst, pix_norm, depth)
     src_pix, valid = cam.sees(cam_src, world)
     coords = src_pix * jnp.asarray([ws, hs], jnp.float32)
-    valid &= disparity > 0
+    valid &= (disparity > 0) & jnp.all(jnp.isfinite(coords), axis=-1)
     return coords, valid
 
 

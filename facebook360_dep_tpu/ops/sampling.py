@@ -46,10 +46,14 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     wx = (x - x0)[..., None]
     wy = (y - y0)[..., None]
 
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    # clamp each tap independently (off-edge taps collapse onto the edge pixel,
+    # matching the reference's clampToEdge per-sample semantics)
+    x0u = x0.astype(jnp.int32)
+    y0u = y0.astype(jnp.int32)
+    x0i = jnp.clip(x0u, 0, w - 1)
+    x1i = jnp.clip(x0u + 1, 0, w - 1)
+    y0i = jnp.clip(y0u, 0, h - 1)
+    y1i = jnp.clip(y0u + 1, 0, h - 1)
 
     flat = img.reshape(h * w, c)
 

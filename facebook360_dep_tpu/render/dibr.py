@@ -1,0 +1,249 @@
+"""Depth-image-based rendering: novel-view cubemaps/equirects from per-camera
+color + disparity.
+
+TPU-native replacement for the reference's GL rasterization path
+(``render/CanopyScene.h:19-74``: per-camera disparity meshes rendered with
+alpha accumulation; ``render/RigScene.cpp`` fragment cone weights +
+exponential alpha blend). Instead of rasterizing triangles we:
+
+  1. forward-splat every camera's per-pixel world points into the target
+     view's z-buffer (scatter-min over ray distance, 2x2 footprints),
+  2. close small z-buffer holes with a max-radius neighborhood fill,
+  3. inverse-gather color: unproject each target pixel at the splatted depth,
+     sample every camera that sees the point, weight by the reference's
+     radial cone alpha (RigScene.cpp:244-259) gated by per-camera occlusion
+     (the camera's own depth must agree with the sample depth).
+
+Same inputs/outputs as the reference's offline renderers; exact pixels differ
+(splat vs raster) but the rephotography metric is computed identically on both.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import camera as cam
+from ..ops import sampling
+
+# GL cubemap face order: +x, -x, +y, -y, +z, -z
+_FACE_AXES = [
+    # (major axis, sign, u expression index+sign, v expression index+sign)
+    (0, +1, (2, -1), (1, -1)),
+    (0, -1, (2, +1), (1, -1)),
+    (1, +1, (0, +1), (2, +1)),
+    (1, -1, (0, +1), (2, -1)),
+    (2, +1, (0, +1), (1, -1)),
+    (2, -1, (0, -1), (1, -1)),
+]
+
+
+def dir_to_cube(v: jnp.ndarray, face_size: int):
+    """Directions (..., 3) -> (face, x, y) cube coordinates (pixel centers)."""
+    av = jnp.abs(v)
+    major = jnp.argmax(av, axis=-1)
+    sign = jnp.take_along_axis(jnp.sign(v), major[..., None], axis=-1)[..., 0]
+    face = major * 2 + (sign < 0)
+    m = jnp.take_along_axis(av, major[..., None], axis=-1)[..., 0]
+    m = jnp.maximum(m, 1e-20)
+
+    u = jnp.zeros_like(m)
+    w = jnp.zeros_like(m)
+    for f, (axis, s, (ui, us), (vi, vs)) in enumerate(_FACE_AXES):
+        sel = face == f
+        u = jnp.where(sel, us * v[..., ui] / m, u)
+        w = jnp.where(sel, vs * v[..., vi] / m, w)
+    x = (u + 1.0) * 0.5 * face_size
+    y = (w + 1.0) * 0.5 * face_size
+    return face, x, y
+
+
+def cube_dirs(face_size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(6, S, S, 3) unit view directions for every cube pixel."""
+    grid = sampling.pixel_center_grid(face_size, face_size, dtype)
+    u = grid[..., 0] / face_size * 2.0 - 1.0
+    w = grid[..., 1] / face_size * 2.0 - 1.0
+    faces = []
+    for axis, s, (ui, us), (vi, vs) in _FACE_AXES:
+        v = [None, None, None]
+        v[axis] = jnp.full_like(u, float(s))
+        v[ui] = us * u
+        v[vi] = vs * w
+        faces.append(jnp.stack(v, axis=-1))
+    d = jnp.stack(faces)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def equirect_dirs(width: int, height: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(H, W, 3) directions matching worldToEquirect (util/ImageUtil.cpp:127-140)."""
+    grid = sampling.pixel_center_grid(height, width, dtype)
+    u = grid[..., 0] / width
+    v = grid[..., 1] / height
+    theta = -u * 2.0 * jnp.pi
+    phi = v * jnp.pi
+    return jnp.stack(
+        [jnp.sin(phi) * jnp.cos(theta), jnp.sin(phi) * jnp.sin(theta), jnp.cos(phi)], axis=-1
+    )
+
+
+def world_to_equirect(v: jnp.ndarray, width: int, height: int):
+    depth = jnp.linalg.norm(v, axis=-1)
+    d = v / jnp.maximum(depth, 1e-20)[..., None]
+    phi = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0))
+    theta = jnp.arctan2(d[..., 1], d[..., 0])
+    theta = jnp.where(theta > 0, theta - 2 * jnp.pi, theta)
+    return (-theta / (2 * jnp.pi)) * width, (phi / jnp.pi) * height
+
+
+def _splat_depth(flat_idx, dist, valid, num_pixels):
+    zbuf = jnp.full((num_pixels,), jnp.inf, dist.dtype)
+    idx = jnp.where(valid, flat_idx, 0)
+    d = jnp.where(valid, dist, jnp.inf)
+    return zbuf.at[idx.reshape(-1)].min(d.reshape(-1))
+
+
+def _fill_holes(zbuf2d: jnp.ndarray, iterations: int = 2) -> jnp.ndarray:
+    """Replace inf holes with the min of their 3x3 neighborhood, iterated."""
+    def body(z, _):
+        neg = jnp.where(jnp.isinf(z), -jnp.inf, -z)
+        grown = -jax.lax.reduce_window(
+            neg, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        )
+        return jnp.where(jnp.isinf(z), grown, z), None
+
+    out, _ = jax.lax.scan(body, zbuf2d, None, length=iterations)
+    return out
+
+
+@partial(jax.jit, static_argnames=("face_size", "mode", "width", "height"))
+def render_view(
+    rig_cams: cam.Camera,  # stacked (N,), normalized
+    colors: jnp.ndarray,  # (N, H, W, 3)
+    disparities: jnp.ndarray,  # (N, H, W)
+    center: jnp.ndarray,  # (3,)
+    face_size: int = 0,
+    mode: str = "cube",
+    width: int = 0,
+    height: int = 0,
+):
+    """Render (color, disparity, alpha) of the scene seen from ``center``.
+
+    mode="cube": returns (6, S, S, ...) faces; mode="equirect": (H, W, ...).
+    """
+    n, h, w = colors.shape[:3]
+    grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
+    center = jnp.asarray(center, jnp.float32)
+
+    if mode == "cube":
+        out_hw = (6 * face_size, face_size)
+        target_dirs = cube_dirs(face_size).reshape(-1, face_size, 3)
+    else:
+        out_hw = (height, width)
+        target_dirs = equirect_dirs(width, height)
+    num_pixels = out_hw[0] * out_hw[1]
+
+    def project_out(v):
+        """world-offset vectors -> (flat index, in-bounds) in the target view."""
+        if mode == "cube":
+            face, x, y = dir_to_cube(v, face_size)
+            xi = jnp.clip(x.astype(jnp.int32), 0, face_size - 1)
+            yi = jnp.clip(y.astype(jnp.int32), 0, face_size - 1)
+            return (face * face_size + yi) * face_size + xi, jnp.isfinite(x) & jnp.isfinite(y)
+        x, y = world_to_equirect(v, width, height)
+        xi = jnp.clip(x.astype(jnp.int32), 0, width - 1)
+        yi = jnp.clip(y.astype(jnp.int32), 0, height - 1)
+        return yi * width + xi, jnp.isfinite(x) & jnp.isfinite(y)
+
+    # --- stage 1: forward splat depths ------------------------------------
+    def one_cam_splat(carry, inputs):
+        zbuf = carry
+        c, disp = inputs
+        depth = 1.0 / jnp.maximum(disp, 1e-12)
+        world = cam.rig_point(c, grid, depth)
+        v = world - center
+        dist = jnp.linalg.norm(v, axis=-1)
+        valid = jnp.isfinite(dist) & (disp > 0)
+        idx, ok = project_out(v)
+        zb = _splat_depth(idx, dist, valid & ok, num_pixels)
+        return jnp.minimum(zbuf, zb), None
+
+    zbuf0 = jnp.full((num_pixels,), jnp.inf, jnp.float32)
+    zbuf, _ = jax.lax.scan(one_cam_splat, zbuf0, (rig_cams, disparities))
+    zbuf = _fill_holes(zbuf.reshape(out_hw))
+
+    # --- stage 2: inverse gather colors ------------------------------------
+    world = center + target_dirs.reshape(out_hw + (3,)) * zbuf[..., None]
+    alpha_valid = jnp.isfinite(zbuf)
+
+    def one_cam_gather(carry, inputs):
+        sum_w, sum_wc = carry
+        c, color, disp = inputs
+        pix, sees_ok = cam.sees(c, world)
+        coords = pix * jnp.asarray([w, h], jnp.float32)
+        sampled = sampling.bilinear_sample(color, coords)
+        # occlusion: the camera's own surface along this ray must agree
+        cam_disp = sampling.bilinear_sample(disp, coords)
+        cam_depth = 1.0 / jnp.maximum(cam_disp, 1e-12)
+        point_depth = jnp.linalg.norm(world - c.position, axis=-1)
+        visible = cam_depth >= 0.9 * point_depth
+        # radial cone alpha: 1 at image center -> ~0 at the image edge
+        centered = pix - 0.5
+        r = 2.0 * jnp.linalg.norm(centered, axis=-1)
+        cone = jnp.maximum(1.0 - r, 1e-3)
+        wgt = jnp.where(sees_ok & visible & jnp.isfinite(sampled[..., 0]), cone, 0.0)
+        return (sum_w + wgt, sum_wc + wgt[..., None] * jnp.nan_to_num(sampled)), None
+
+    init = (jnp.zeros(out_hw, jnp.float32), jnp.zeros(out_hw + (3,), jnp.float32))
+    (sum_w, sum_wc), _ = jax.lax.scan(one_cam_gather, init, (rig_cams, colors, disparities))
+    color_out = sum_wc / jnp.maximum(sum_w, 1e-12)[..., None]
+    alpha = alpha_valid & (sum_w > 0)
+    disparity_out = jnp.where(alpha, 1.0 / jnp.maximum(zbuf, 1e-12), jnp.nan)
+    color_out = jnp.where(alpha[..., None], color_out, 0.0)
+
+    if mode == "cube":
+        s = face_size
+        return (
+            color_out.reshape(6, s, s, 3),
+            disparity_out.reshape(6, s, s),
+            alpha.reshape(6, s, s),
+        )
+    return color_out, disparity_out, alpha
+
+
+def render_cubemap(rig: cam.Rig, colors, disparities, center, face_size: int):
+    """Convenience wrapper: normalized rig -> stacked (6S, S) cubemap images."""
+    nrig = cam.normalize_rig(rig) if not cam.is_normalized(rig.camera(0)) else rig
+    cams = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else jnp.asarray(a),
+        nrig.cameras,
+    )
+    color, disp, alpha = render_view(
+        cams,
+        jnp.asarray(colors, jnp.float32),
+        jnp.asarray(disparities, jnp.float32),
+        jnp.asarray(center, jnp.float32),
+        face_size=face_size,
+        mode="cube",
+    )
+    return np.asarray(color), np.asarray(disp), np.asarray(alpha)
+
+
+def render_equirect(rig: cam.Rig, colors, disparities, center, width: int, height: int):
+    nrig = cam.normalize_rig(rig) if not cam.is_normalized(rig.camera(0)) else rig
+    cams = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else jnp.asarray(a),
+        nrig.cameras,
+    )
+    color, disp, alpha = render_view(
+        cams,
+        jnp.asarray(colors, jnp.float32),
+        jnp.asarray(disparities, jnp.float32),
+        jnp.asarray(center, jnp.float32),
+        mode="equirect",
+        width=width,
+        height=height,
+    )
+    return np.asarray(color), np.asarray(disp), np.asarray(alpha)

@@ -1,0 +1,98 @@
+"""Synthetic ground-truth scenes for end-to-end accuracy testing.
+
+The reference uses RigSimulator (``rig/RigSimulator.cpp:37-64``) to raytrace a
+textured world into rig cameras with true inverse-depth outputs — its
+substitute for fixture-based testing. Here: vectorized ray casting against
+procedurally-textured spheres/boxes using the same camera model the solver
+uses, producing (color, ground-truth disparity) per camera.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam
+from ..ops import sampling
+
+
+def procedural_texture(dirs: jnp.ndarray, seed: int = 7, octaves: int = 6) -> jnp.ndarray:
+    """Smooth multi-frequency RGB texture over unit directions (...,3) -> (...,3) in [0,1]."""
+    rng = np.random.RandomState(seed)
+    color = jnp.zeros(dirs.shape[:-1] + (3,), dirs.dtype)
+    total = 0.0
+    for octave in range(octaves):
+        freq = 2.0**octave
+        amp = 1.0 / (octave + 1)
+        vecs = jnp.asarray(rng.randn(3, 3) * freq, dirs.dtype)
+        phase = jnp.asarray(rng.rand(3) * 2 * np.pi, dirs.dtype)
+        color = color + amp * jnp.sin(dirs @ vecs.T * 3.0 + phase)
+        total += amp
+    return (color / total + 1.0) * 0.5
+
+
+def ray_sphere_depth(origins, dirs, center, radius):
+    """Distance along each ray to a sphere (rays assumed to start inside).
+
+    origins/dirs: (..., 3); returns (...,) t > 0 (NaN if no hit).
+    """
+    oc = origins - jnp.asarray(center, dirs.dtype)
+    b = jnp.sum(oc * dirs, axis=-1)
+    c0 = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = b * b - c0
+    t = -b + jnp.sqrt(jnp.maximum(disc, 0.0))
+    return jnp.where(disc >= 0, t, jnp.nan)
+
+
+def render_sphere_scene(rig: cam.Rig, size_wh, radius: float = 5.0, center=(0.0, 0.0, 0.0), seed: int = 7):
+    """Render every rig camera against a textured sphere.
+
+    Returns (colors (N, H, W, 3), gt_disparity (N, H, W)). Cameras must sit
+    inside the sphere; disparity = 1 / (camera-to-hit distance), matching the
+    solver's definition (DerpUtil.cpp:38-52).
+    """
+    w, h = int(size_wh[0]), int(size_wh[1])
+    nrig = cam.normalize_rig(rig)
+    cams = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else jnp.asarray(a), nrig.cameras)
+    grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
+
+    def one(c):
+        d = cam.ray_dir(c, grid)
+        t = ray_sphere_depth(c.position, d, center, radius)
+        hit = c.position + d * t[..., None]
+        tex_dir = hit - jnp.asarray(center, jnp.float32)
+        tex_dir = tex_dir / jnp.linalg.norm(tex_dir, axis=-1, keepdims=True)
+        color = procedural_texture(tex_dir, seed)
+        return color, 1.0 / t
+
+    colors, disparity = jax.vmap(one)(cams)
+    return np.asarray(colors), np.asarray(disparity)
+
+
+def make_test_rig(
+    num_cameras: int = 4,
+    resolution=(64, 48),
+    focal_scale: float = 0.45,
+    ring_radius: float = 0.15,
+    type_name: str = "RECTILINEAR",
+) -> cam.Rig:
+    """A small inward-facing... rather, forward-facing ring rig with parallax,
+    for solver tests: cameras on a circle in the XY plane, all looking -Z."""
+    w, h = resolution
+    cams, ids = [], []
+    for i in range(num_cameras):
+        angle = 2 * np.pi * i / num_cameras
+        pos = [ring_radius * np.cos(angle), ring_radius * np.sin(angle), 0.0]
+        rotation = np.eye(3)  # right=+x, up=+y, backward=+z (looking -z)
+        c = cam.make_camera(
+            type_code=getattr(cam, type_name),
+            position=pos,
+            rotation=rotation,
+            resolution=[w, h],
+            focal=[focal_scale * w, -focal_scale * w],
+        )
+        cams.append(c)
+        ids.append(f"cam{i}")
+    return cam.Rig(cameras=cam.stack_cameras(cams), ids=tuple(ids), groups=("",) * num_cameras)

@@ -1,0 +1,150 @@
+"""ctypes bindings for the native (C++) streaming components.
+
+Builds ``_native/*.cpp`` into a shared library on first use (g++ -O3); the
+reference keeps these components native too (MeshSimplifier C++,
+ispc_texcomp ISPC) because they are serial, branchy host-side codecs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "_native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libdep_native.so")
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def _build() -> None:
+    sources = [os.path.join(_NATIVE_DIR, f) for f in sorted(os.listdir(_NATIVE_DIR)) if f.endswith(".cpp")]
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB_PATH, *sources]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def _lib() -> ctypes.CDLL:
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        newest_src = max(
+            os.path.getmtime(os.path.join(_NATIVE_DIR, f))
+            for f in os.listdir(_NATIVE_DIR)
+            if f.endswith(".cpp")
+        )
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < newest_src:
+            _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        f32 = ctypes.POINTER(ctypes.c_float)
+        u32 = ctypes.POINTER(ctypes.c_uint32)
+        i32 = ctypes.POINTER(ctypes.c_int)
+        lib.simplify_mesh.argtypes = [
+            f32, ctypes.c_int, u32, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+            ctypes.c_int, f32, i32, u32, i32,
+        ]
+        lib.simplify_mesh.restype = ctypes.c_int
+        lib.compress_bc7.argtypes = [u8, ctypes.c_int, ctypes.c_int, u8]
+        lib.compress_bc7.restype = None
+        lib.decompress_bc7_mode6.argtypes = [u8, ctypes.c_int, ctypes.c_int, u8]
+        lib.decompress_bc7_mode6.restype = None
+        lib.rasterize_mesh.argtypes = [
+            f32, ctypes.c_int, u32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, f32,
+        ]
+        lib.rasterize_mesh.restype = None
+        _LIB = lib
+        return lib
+
+
+def simplify_mesh(
+    vertexes: np.ndarray,
+    faces: np.ndarray,
+    target_faces: int,
+    strictness: float = 0.2,
+    remove_boundary: bool = False,
+):
+    """QEM edge-collapse decimation to <= target_faces triangles.
+
+    Mirrors render/MeshSimplifier::simplify (150k triangles, strictness 0.2
+    in ConvertToBinary.cpp:200-216).
+    """
+    lib = _lib()
+    v = np.ascontiguousarray(vertexes, np.float32)
+    f = np.ascontiguousarray(faces, np.uint32)
+    out_v = np.empty_like(v)
+    out_f = np.empty_like(f)
+    out_nv = ctypes.c_int(0)
+    out_nf = ctypes.c_int(0)
+    rc = lib.simplify_mesh(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(f),
+        int(target_faces),
+        float(strictness),
+        int(remove_boundary),
+        out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(out_nv),
+        out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(out_nf),
+    )
+    assert rc == 0, f"simplify_mesh failed: {rc}"
+    return out_v[: out_nv.value].copy(), out_f[: out_nf.value].copy()
+
+
+def compress_bc7(rgba: np.ndarray) -> np.ndarray:
+    """RGBA8 (H, W, 4) -> BC7 blocks (16 bytes per 4x4 texel block)."""
+    lib = _lib()
+    rgba = np.ascontiguousarray(rgba, np.uint8)
+    h, w = rgba.shape[:2]
+    assert h % 4 == 0 and w % 4 == 0, f"dimensions must be multiples of 4: {w}x{h}"
+    out = np.empty(h * w, np.uint8)  # 16 B per 16 texels = 1 B/texel
+    lib.compress_bc7(
+        rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w,
+        h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
+
+
+def rasterize_mesh(
+    vertexes: np.ndarray, faces: np.ndarray, width: int, height: int,
+    scale_x: float = 1.0, scale_y: float = 1.0,
+) -> np.ndarray:
+    """Z-buffer rasterize (x, y, z) triangles into an (H, W) z map (NaN where
+    uncovered); max-z wins (equi-error z grows toward the camera)."""
+    lib = _lib()
+    v = np.ascontiguousarray(vertexes, np.float32)
+    f = np.ascontiguousarray(faces, np.uint32)
+    out = np.empty((height, width), np.float32)
+    lib.rasterize_mesh(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(v),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(f),
+        width,
+        height,
+        float(scale_x),
+        float(scale_y),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def decompress_bc7(blocks: np.ndarray, width: int, height: int) -> np.ndarray:
+    lib = _lib()
+    blocks = np.ascontiguousarray(blocks, np.uint8)
+    out = np.empty((height, width, 4), np.uint8)
+    lib.decompress_bc7_mode6(
+        blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        width,
+        height,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out

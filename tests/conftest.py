@@ -1,13 +1,12 @@
-"""Test config: force an 8-device virtual CPU mesh (multi-chip sharding tests
-run everywhere) and enable x64 for camera-math precision tests."""
+"""Test config: 8 virtual CPU devices (multi-chip sharding tests run anywhere)
+and x64 enabled for camera-math precision tests.
 
-import os
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-).strip()
+NOTE: this environment force-sets jax_platforms to "axon,cpu" (TPU tunnel)
+regardless of JAX_PLATFORMS, so we override the config directly.
+"""
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)

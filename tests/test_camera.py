@@ -196,7 +196,7 @@ def test_rig_load_save_filter(tmp_path):
     rig_path = tmp_path / "rig.json"
     rig_path.write_text(json.dumps({"cameras": cams}))
     rig = cam.load_rig(rig_path)
-    assert len(rig) == 4
+    assert len(rig.ids) == 4
     assert rig.ids == ("cam0", "cam1", "cam2", "cam3")
 
     sub = cam.filter_destinations(rig, "cam2,cam0")

@@ -1,0 +1,86 @@
+"""End-to-end DerpCLI test: synthetic scene written to the reference's
+directory contract, solved coarse-to-fine through the CLI, outputs compared
+against raytraced ground truth (the reference's DerpCLITest shape, with
+RigSimulator-style data instead of the S3 dataset)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from facebook360_dep_tpu.core import camera as cam, imagetypes, io
+from facebook360_dep_tpu.render import synthetic
+
+
+@pytest.fixture(scope="module")
+def project(tmp_path_factory):
+    """A tiny project tree: 3 pyramid levels of a 4-camera synthetic scene."""
+    root = tmp_path_factory.mktemp("derp_project")
+    rig = synthetic.make_test_rig(num_cameras=4, resolution=(80, 60), ring_radius=0.3)
+    # render full-size, then resize down for levels (mirrors resize.py)
+    colors, gt = synthetic.render_sphere_scene(rig, (80, 60), radius=5.0)
+    level_sizes = {0: (80, 60), 1: (56, 42), 2: (40, 30)}
+    for level, size in level_sizes.items():
+        for i, cam_id in enumerate(rig.ids):
+            d = imagetypes.image_dir(root, "color_levels", level, cam_id)
+            os.makedirs(d, exist_ok=True)
+            img = colors[i] if size == (80, 60) else io.resize_image(colors[i], size)
+            io.write_color(os.path.join(d, "000000.png"), img, bit_depth=16)
+    os.makedirs(os.path.join(root, "rigs"), exist_ok=True)
+    cam.save_rig(os.path.join(root, "rigs/rig_calibrated.json"), rig)
+    return str(root), rig, gt
+
+
+def test_derp_cli_end_to_end(project):
+    from facebook360_dep_tpu.cli import derp_cli
+
+    root, rig, gt = project
+    out_root = os.path.join(root, "out")
+    derp_cli.main(
+        [
+            "--input_root", root,
+            "--output_root", out_root,
+            "--min_depth_m", "1.0",
+            "--max_depth_m", "100.0",
+            "--output_formats", "pfm,png",
+            "--resolution", "80",
+        ]
+    )
+    # outputs exist for every camera at every level, both formats
+    for level in (2, 1, 0):
+        for cam_id in rig.ids:
+            pfm = imagetypes.gen_filename(out_root, "disparity_levels", level, cam_id, "000000", "pfm")
+            assert os.path.exists(pfm), pfm
+    disp = io.read_disparity(
+        imagetypes.gen_filename(out_root, "disparity_levels", 0, cam_id, "000000", "pfm")
+    )
+    assert disp.shape == (60, 80)
+    i = rig.ids.index(cam_id)
+    m = np.zeros(disp.shape, bool)
+    m[6:-6, 6:-6] = True
+    valid = np.isfinite(disp) & m
+    rel = np.abs(disp[valid] - gt[i][valid]) / gt[i][valid]
+    assert np.median(rel) < 0.05, f"median rel disparity err {np.median(rel):.4f}"
+
+
+def test_derp_cli_resume_from_level(project):
+    """level_start resume (DerpCLI.cpp:50-51): rerun finest level only."""
+    from facebook360_dep_tpu.cli import derp_cli
+
+    root, rig, gt = project
+    out_root = os.path.join(root, "out")  # reuse previous outputs
+    derp_cli.main(
+        [
+            "--input_root", root,
+            "--output_root", out_root,
+            "--min_depth_m", "1.0",
+            "--max_depth_m", "100.0",
+            "--level_start", "0",
+            "--resolution", "80",
+        ]
+    )
+    disp = io.read_disparity(
+        imagetypes.gen_filename(out_root, "disparity_levels", 0, rig.ids[0], "000000", "pfm")
+    )
+    assert np.isfinite(disp).any()

@@ -1,0 +1,48 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+
+import jax
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_sharded_matches_single_device():
+    from facebook360_dep_tpu.core import camera as cam
+    from facebook360_dep_tpu.depth import pipeline, solver
+    from facebook360_dep_tpu.parallel import sharding
+    from facebook360_dep_tpu.render import synthetic
+
+    rig = synthetic.make_test_rig(num_cameras=8, resolution=(32, 24), ring_radius=0.3)
+    colors, gt = synthetic.render_sphere_scene(rig, (32, 24), radius=5.0)
+    nrig = cam.normalize_rig(rig)
+    fov = pipeline.generate_fov_masks(nrig, colors.shape[1:3])
+    ctx = solver.make_level_context(nrig, nrig, colors, fov)
+    cfg = solver.SolverConfig(
+        min_depth=1.0, max_depth=100.0, level=1, num_levels=2,
+        num_random_proposals=0, ping_pong_iterations=1, mismatches_start_level=1,
+    )
+    init = gt.astype(np.float32)
+
+    single = solver.process_level(ctx, cfg, init_disparity=init)
+    mesh = sharding.camera_mesh(jax.devices()[:8])
+    multi = sharding.process_level_sharded(ctx, cfg, mesh, init_disparity=init)
+
+    a = np.asarray(single["disparity"])
+    b = np.asarray(multi["disparity"])
+    mask = np.isfinite(a) & np.isfinite(b)
+    np.testing.assert_allclose(a[mask], b[mask], atol=1e-5)
+    assert (np.isfinite(a) == np.isfinite(b)).all()
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    compiled = jax.jit(fn).lower(*args).compile()
+    out = compiled(*args)
+    assert np.asarray(out).shape == args[1].shape
