@@ -30,8 +30,19 @@ import jax
 import jax.numpy as jnp
 
 from ..core import camera as cam
+from ..utils.hostmath import on_host
+
+# Calibration is a host-side double-precision solve (the reference uses
+# Camera::Real = double throughout); without x64, f32 camera math inflates
+# reprojection residuals enough to break outlier rejection.
+jax.config.update("jax_enable_x64", True)
 
 HUBER_DELTA = 1.0
+
+
+def _bucket(n: int, quantum: int = 256) -> int:
+    """Round up to the shape bucket (compile-cache friendly padding)."""
+    return max(((n + quantum - 1) // quantum) * quantum, quantum)
 
 
 def rodrigues(rotvec: jnp.ndarray) -> jnp.ndarray:
@@ -69,11 +80,12 @@ class Problem(NamedTuple):
     n_pf: int
     n_d: int
 
-    # observations
+    # observations, padded to a shape bucket; the first n_obs are real
     obs_cam: jnp.ndarray  # (K,) int32
     obs_point: jnp.ndarray  # (K,) int32
     obs_pixel: jnp.ndarray  # (K, 2)
-    obs_weight: jnp.ndarray  # (K,) residual scale 1/sqrt(w)
+    obs_weight: jnp.ndarray  # (K,) residual scale 1/sqrt(w); inf = padding
+    n_obs: int = -1  # real observation count (-1 = all)
 
     @property
     def theta_size(self) -> int:
@@ -151,6 +163,17 @@ def make_problem(
     k = len(obs_cam)
     if obs_weight is None:
         obs_weight = np.ones(k)
+    # pad the observation count to a bucket so successive calibration passes
+    # (whose observation counts differ slightly after outlier removal) reuse
+    # the same compiled LM step; padded rows have weight=inf -> residual
+    # scale 0 -> zero residuals and Jacobians
+    k_pad = _bucket(k)
+    if k_pad > k:
+        pad = k_pad - k
+        obs_cam = np.concatenate([np.asarray(obs_cam), np.zeros(pad, np.int32)])
+        obs_point = np.concatenate([np.asarray(obs_point), np.zeros(pad, np.int32)])
+        obs_pixel = np.concatenate([np.asarray(obs_pixel), np.zeros((pad, 2))])
+        obs_weight = np.concatenate([np.asarray(obs_weight), np.full(pad, np.inf)])
     base = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64) if np.asarray(a).dtype.kind == "f" else jnp.asarray(a), rig.cameras)
     return Problem(
         base_cams=base,
@@ -163,6 +186,7 @@ def make_problem(
         obs_point=jnp.asarray(obs_point, jnp.int32),
         obs_pixel=jnp.asarray(obs_pixel, jnp.float64),
         obs_weight=jnp.asarray(obs_weight, jnp.float64),
+        n_obs=k,
     )
 
 
@@ -207,21 +231,34 @@ def _per_obs_params(problem: Problem, theta):
     return params, cols
 
 
-def residuals_and_jacobians(problem: Problem, theta, points):
-    """(K,2) residuals plus per-observation Jacobians wrt the 12 camera params
-    and the 3 point coords, all via one vmapped jacfwd."""
+def _res_args(problem: Problem, theta, points):
     (pos, rot, pri, foc, dist), cols = _per_obs_params(problem, theta)
     world = points[problem.obs_point]
-    base = problem.base_cams
-    ci = problem.obs_cam
+    wscale = 1.0 / jnp.sqrt(problem.obs_weight)
+    args = (pos, rot, pri, foc, dist, world, problem.obs_cam, problem.obs_pixel, wscale)
+    return args, cols
 
+
+def _make_res_one(base):
     def res_one(pos, rot, pri, foc, dist, world, ci, pixel, wscale):
         base_c = jax.tree.map(lambda a: a[ci], base)
         pred = _project(base_c, pos, rot, pri, foc, dist, world)
         return (pred - pixel) * wscale
 
-    wscale = 1.0 / jnp.sqrt(problem.obs_weight)
-    args = (pos, rot, pri, foc, dist, world, ci, problem.obs_pixel, wscale)
+    return res_one
+
+
+def residuals(problem: Problem, theta, points):
+    """(K, 2) weighted residuals only — no Jacobians (for cost evaluation)."""
+    args, _ = _res_args(problem, theta, points)
+    return jax.vmap(_make_res_one(problem.base_cams))(*args)
+
+
+def residuals_and_jacobians(problem: Problem, theta, points):
+    """(K,2) residuals plus per-observation Jacobians wrt the 12 camera params
+    and the 3 point coords, all via one vmapped jacfwd."""
+    args, cols = _res_args(problem, theta, points)
+    res_one = _make_res_one(problem.base_cams)
     r = jax.vmap(res_one)(*args)
     jac = jax.vmap(jax.jacfwd(res_one, argnums=(0, 1, 2, 3, 4, 5)))(*args)
     j_cam = jnp.concatenate(
@@ -299,16 +336,67 @@ def lm_step(problem: Problem, theta, points, lam, free_mask, robust=True):
 
 
 def total_cost(problem: Problem, theta, points, robust=True):
-    r, *_ = residuals_and_jacobians(problem, theta, points)
-    r_norm = jnp.linalg.norm(r, axis=-1)
+    r_norm = jnp.linalg.norm(residuals(problem, theta, points), axis=-1)
     return jnp.sum(huber_cost(r_norm)) if robust else jnp.sum(r_norm**2)
 
 
+@on_host
 def residual_norms(problem: Problem, theta, points) -> np.ndarray:
-    r, *_ = residuals_and_jacobians(problem, theta, points)
-    return np.asarray(jnp.linalg.norm(r, axis=-1))
+    """Per-observation reprojection error norms (padding rows excluded)."""
+    norms = np.asarray(jnp.linalg.norm(residuals(problem, theta, points), axis=-1))
+    return norms[: problem.n_obs] if problem.n_obs >= 0 else norms
 
 
+_SOLVER_CACHE: dict = {}
+
+
+def _jitted_solvers(problem: Problem, robust: bool):
+    """Module-cached jitted (lm_step, total_cost) keyed by problem shape.
+
+    The problem's arrays are traced arguments (so re-running a pass with new
+    observations of the same padded shape hits the compile cache); its
+    shape-defining ints stay static via the cache key.
+    """
+    key = (
+        problem.n_cams,
+        problem.n_pf,
+        problem.n_d,
+        int(problem.obs_cam.shape[0]),
+        bool(robust),
+    )
+    hit = _SOLVER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n_cams, n_pf, n_d = problem.n_cams, problem.n_pf, problem.n_d
+    pf_idx, d_idx = problem.pf_idx, problem.d_idx
+
+    n_obs = problem.n_obs
+
+    def rebuild(base_cams, obs_cam, obs_point, obs_pixel, obs_weight):
+        return Problem(
+            base_cams, pf_idx, d_idx, n_cams, n_pf, n_d,
+            obs_cam, obs_point, obs_pixel, obs_weight, n_obs,
+        )
+
+    @jax.jit
+    def step(p: Problem, theta, points, lam, free):
+        return lm_step(
+            rebuild(p.base_cams, p.obs_cam, p.obs_point, p.obs_pixel, p.obs_weight),
+            theta, points, lam, free, robust=robust,
+        )
+
+    @jax.jit
+    def cost_fn(p: Problem, theta, points):
+        return total_cost(
+            rebuild(p.base_cams, p.obs_cam, p.obs_point, p.obs_pixel, p.obs_weight),
+            theta, points, robust,
+        )
+
+    _SOLVER_CACHE[key] = (step, cost_fn)
+    return step, cost_fn
+
+
+@on_host
 def solve_lm(
     problem: Problem,
     theta0,
@@ -326,17 +414,13 @@ def solve_lm(
     points = jnp.asarray(points0, jnp.float64)
     free_mask = jnp.asarray(free_mask, bool)
     lam = lam0
-    cost = float(total_cost(problem, theta, points, robust))
-    # close over the problem: its shape-defining ints and index maps stay
-    # static; only (theta, points, lam) are traced
-    step = jax.jit(
-        lambda theta, points, lam, free: lm_step(problem, theta, points, lam, free, robust=robust)
-    )
+    step, cost_fn = _jitted_solvers(problem, robust)
+    cost = float(cost_fn(problem, theta, points))
     for _ in range(max_iterations):
-        new_theta, new_points, _ = step(theta, points, lam, free_mask)
+        new_theta, new_points, _ = step(problem, theta, points, lam, free_mask)
         if baseline_lock is not None:
             new_theta = _retract_baseline(problem, new_theta, *baseline_lock)
-        new_cost = float(total_cost(problem, new_theta, new_points, robust))
+        new_cost = float(cost_fn(problem, new_theta, new_points))
         if new_cost < cost:
             theta, points, cost = new_theta, new_points, new_cost
             lam = max(lam * 0.3, 1e-12)
@@ -361,24 +445,11 @@ def _retract_baseline(problem: Problem, theta, ref_idx, rel_idx, radius):
 # ---------------------------------------------------------------------------
 
 
-def triangulate(
-    rig_cams: cam.Camera,  # stacked (N,), float64
-    obs_cam: np.ndarray,  # (M, max_obs) padded camera indices
-    obs_pixel: np.ndarray,  # (M, max_obs, 2)
-    obs_valid: np.ndarray,  # (M, max_obs) bool
-    iterations: int = 10,
-    force_in_front: bool = True,
-):
-    """Gauss-Newton on the inverse-world parametrization, vmapped over traces.
+import functools
 
-    inv = world / |world|^2 keeps the solver from overshooting behind the rig
-    (GeometricCalibration.h:216-231). Initialized from the average ray point
-    at 10 m (averageAtDistance, :269-275).
-    """
-    obs_cam = jnp.asarray(obs_cam, jnp.int32)
-    obs_pixel = jnp.asarray(obs_pixel, jnp.float64)
-    obs_valid = jnp.asarray(obs_valid, bool)
-    rig_cams = jax.tree.map(jnp.asarray, rig_cams)  # tracer-indexable
+
+@functools.partial(jax.jit, static_argnames=("iterations", "force_in_front"))
+def _triangulate_jit(rig_cams, obs_cam, obs_pixel, obs_valid, iterations, force_in_front):
 
     def one(cams_idx, pixels, valid):
         def r_fn(inv):
@@ -420,4 +491,32 @@ def triangulate(
             world = jnp.where(any_behind, avg_at_distance(cam.KNEAR_INFINITY), world)
         return world
 
-    return np.asarray(jax.vmap(one)(obs_cam, obs_pixel, obs_valid))
+    return jax.vmap(one)(obs_cam, obs_pixel, obs_valid)
+
+
+@on_host
+def triangulate(
+    rig_cams: cam.Camera,  # stacked (N,), float64
+    obs_cam: np.ndarray,  # (M, max_obs) padded camera indices
+    obs_pixel: np.ndarray,  # (M, max_obs, 2)
+    obs_valid: np.ndarray,  # (M, max_obs) bool
+    iterations: int = 10,
+    force_in_front: bool = True,
+):
+    """Gauss-Newton on the inverse-world parametrization, vmapped over traces.
+
+    inv = world / |world|^2 keeps the solver from overshooting behind the rig
+    (GeometricCalibration.h:216-231). Initialized from the average ray point
+    at 10 m (averageAtDistance, :269-275). Jitted with a persistent cache:
+    bucketed input shapes (triangulate_traces) make every pass a cache hit.
+    """
+    return np.asarray(
+        _triangulate_jit(
+            jax.tree.map(jnp.asarray, rig_cams),
+            jnp.asarray(obs_cam, jnp.int32),
+            jnp.asarray(obs_pixel, jnp.float64),
+            jnp.asarray(obs_valid, bool),
+            iterations,
+            force_in_front,
+        )
+    )

@@ -26,6 +26,7 @@ import jax
 
 from ..core import camera as cam
 from . import ba
+from ..utils.hostmath import on_host
 
 log = logging.getLogger("calibration")
 
@@ -101,6 +102,7 @@ def load_matches_json(path: str, rig: cam.Rig, score_threshold: float = 0.75):
     return features, overlaps
 
 
+@on_host
 def generate_artificial_points(
     rig: cam.Rig, count: int = 10000, min_dist: float = 1.0, error_stddev: float = 0.5, seed: int = 0
 ):
@@ -206,14 +208,20 @@ def assemble_traces(features, overlaps, rig: cam.Rig, keep_invalid=False):
 
 
 def triangulate_traces(rig: cam.Rig, obs_cam, obs_trace, obs_pixel, n_traces, force_in_front=True):
-    """Pad per-trace observations and run the vmapped GN triangulator."""
+    """Pad per-trace observations and run the vmapped GN triangulator.
+
+    Both the trace count and the per-trace observation count are padded to
+    shape buckets so every calibration pass reuses the same compiled
+    triangulator (padding rows are all-invalid and sliced off the result).
+    """
     order = np.argsort(obs_trace, kind="stable")
     oc, ot, op = obs_cam[order], obs_trace[order], obs_pixel[order]
     counts = np.bincount(ot, minlength=n_traces)
-    max_obs = max(int(counts.max()), 2)
-    pad_cam = np.zeros((n_traces, max_obs), np.int32)
-    pad_pix = np.zeros((n_traces, max_obs, 2), np.float64)
-    pad_valid = np.zeros((n_traces, max_obs), bool)
+    max_obs = ba._bucket(max(int(counts.max()), 2), quantum=max(len(rig.ids), 2))
+    t_pad = ba._bucket(n_traces, quantum=128)
+    pad_cam = np.zeros((t_pad, max_obs), np.int32)
+    pad_pix = np.zeros((t_pad, max_obs, 2), np.float64)
+    pad_valid = np.zeros((t_pad, max_obs), bool)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     for t in range(n_traces):
         c = counts[t]
@@ -224,7 +232,8 @@ def triangulate_traces(rig: cam.Rig, obs_cam, obs_trace, obs_pixel, n_traces, fo
         lambda a: np.asarray(a, np.float64) if np.asarray(a).dtype.kind == "f" else np.asarray(a),
         rig.cameras,
     )
-    return ba.triangulate(cams64, pad_cam, pad_pix, pad_valid, force_in_front=force_in_front)
+    pts = ba.triangulate(cams64, pad_cam, pad_pix, pad_valid, force_in_front=force_in_front)
+    return pts[:n_traces]
 
 
 def remove_outlier_observations(rig, obs_cam, obs_trace, obs_pixel, points, factor):
@@ -243,8 +252,10 @@ def remove_outlier_observations(rig, obs_cam, obs_trace, obs_pixel, points, fact
         sel = obs_cam == i
         if not sel.any():
             continue
-        med = np.median(errs[sel])
-        keep[sel] = errs[sel] <= factor * max(med, 1e-12)
+        # failed triangulations yield NaN errors: exclude them from the
+        # median and always reject them
+        med = np.nanmedian(errs[sel]) if np.isfinite(errs[sel]).any() else np.inf
+        keep[sel] = np.isfinite(errs[sel]) & (errs[sel] <= factor * max(med, 1e-12))
     return keep
 
 
@@ -279,6 +290,7 @@ def _free_mask(problem: ba.Problem, opts: CalibrationOptions, pass_idx: int, ref
     return mask
 
 
+@on_host
 def geometric_calibration(
     rig_in: cam.Rig,
     features,
@@ -315,6 +327,10 @@ def geometric_calibration(
         obs_cam, obs_pixel = obs_cam[sel], obs_pixel[sel]
         obs_trace = remap[obs_trace[sel]].astype(np.int32)
         n_traces = int(alive.sum())
+        if n_traces == 0:
+            raise RuntimeError(
+                "all traces rejected as outliers — check rig initialization / match quality"
+            )
         points = triangulate_traces(
             rig, obs_cam, obs_trace, obs_pixel, n_traces, opts.force_in_front
         )
@@ -355,6 +371,7 @@ def geometric_calibration(
     return rig, median
 
 
+@on_host
 def rig_rmse_report(rig: cam.Rig, ground_truth: cam.Rig) -> dict:
     """Per-quantity RMSE vs a reference rig (getCameraRmseReport / RigCompare)."""
     a = jax.tree.map(np.asarray, rig.cameras)

@@ -52,23 +52,33 @@ def render_sphere_scene(rig: cam.Rig, size_wh, radius: float = 5.0, center=(0.0,
     Returns (colors (N, H, W, 3), gt_disparity (N, H, W)). Cameras must sit
     inside the sphere; disparity = 1 / (camera-to-hit distance), matching the
     solver's definition (DerpUtil.cpp:38-52).
+
+    Runs pinned to the CPU backend: this is test-fixture generation, and it
+    must not consume accelerator compile time in benchmarks.
     """
     w, h = int(size_wh[0]), int(size_wh[1])
     nrig = cam.normalize_rig(rig)
-    cams = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else jnp.asarray(a), nrig.cameras)
-    grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
 
-    def one(c):
-        d = cam.ray_dir(c, grid)
-        t = ray_sphere_depth(c.position, d, center, radius)
-        hit = c.position + d * t[..., None]
-        tex_dir = hit - jnp.asarray(center, jnp.float32)
-        tex_dir = tex_dir / jnp.linalg.norm(tex_dir, axis=-1, keepdims=True)
-        color = procedural_texture(tex_dir, seed)
-        return color, 1.0 / t
+    with jax.default_device(jax.devices("cpu")[0]):
+        cams = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+            if np.asarray(a).dtype.kind == "f"
+            else jnp.asarray(np.asarray(a)),
+            nrig.cameras,
+        )
+        grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
 
-    colors, disparity = jax.vmap(one)(cams)
-    return np.asarray(colors), np.asarray(disparity)
+        def one(c):
+            d = cam.ray_dir(c, grid)
+            t = ray_sphere_depth(c.position, d, center, radius)
+            hit = c.position + d * t[..., None]
+            tex_dir = hit - jnp.asarray(center, jnp.float32)
+            tex_dir = tex_dir / jnp.linalg.norm(tex_dir, axis=-1, keepdims=True)
+            color = procedural_texture(tex_dir, seed)
+            return color, 1.0 / t
+
+        colors, disparity = jax.vmap(one)(cams)
+        return np.asarray(colors), np.asarray(disparity)
 
 
 def make_test_rig(

@@ -1,0 +1,86 @@
+"""Corner detection + epipolar ZNCC matching tests on synthetic imagery."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from facebook360_dep_tpu.calib import calibration as geo, features
+from facebook360_dep_tpu.core import camera as cam
+from facebook360_dep_tpu.render import synthetic
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rig = synthetic.make_test_rig(num_cameras=4, resolution=(160, 120), ring_radius=0.1)
+    colors, gt = synthetic.render_sphere_scene(rig, (160, 120), radius=5.0, seed=11)
+    return rig, colors, gt
+
+
+def test_detect_corners_finds_checker():
+    img = np.zeros((64, 64), np.float32)
+    img[16:48, 16:48] = 1.0  # a bright square: 4 strong corners
+    c = features.detect_corners(img, max_corners=8, min_distance=3, octaves=1)
+    assert len(c.xy) >= 4
+    found = {tuple(np.round(p).astype(int)) for p in c.xy}
+    for target in [(16, 16), (48, 16), (16, 48), (48, 48)]:
+        assert any(abs(f[0] - target[0]) <= 2 and abs(f[1] - target[1]) <= 2 for f in found), (
+            target,
+            found,
+        )
+
+
+def test_camera_overlap(scene):
+    rig, _, _ = scene
+    import jax.numpy as jnp
+
+    c0 = jax.tree.map(lambda a: jnp.asarray(a), rig.camera(0))
+    c1 = jax.tree.map(lambda a: jnp.asarray(a), rig.camera(1))
+    # forward-facing ring rig: neighbors overlap heavily
+    assert features.camera_overlap(c0, c1) > 0.5
+
+
+def test_match_corners_and_calibrate(scene):
+    """End-to-end: detect, match, then recover a small rotation perturbation
+    from image matches alone (the reference CalibrationTest flow)."""
+    rig, colors, gt = scene
+    grays = colors[..., 1]
+    matches = features.match_corners(rig, grays, max_corners=300, min_depth=1.0, max_depth=100.0)
+    total = sum(len(m["matches"]) for m in matches["all_matches"])
+    assert total > 100, f"too few matches: {total}"
+
+    feats = {
+        k: np.asarray([[f["x"], f["y"]] for f in v], np.float64).reshape(-1, 2)
+        for k, v in matches["images"].items()
+    }
+    overlaps = [
+        (m["image1"], m["image2"], [(mm["idx1"], mm["idx2"]) for mm in m["matches"]])
+        for m in matches["all_matches"]
+    ]
+    # matches were made at image resolution; rescale the rig accordingly
+    h, w = grays.shape[1:3]
+    scaled = cam.rescale_rig(rig, [w, h])
+    perturbed = cam.perturb_cameras(scaled, rot_amount=0.02, seed=9)
+    # a forward-facing ring rig has rotation/principal near-degeneracy; lock
+    # intrinsics so the rotation perturbation must be absorbed by rotation
+    opts = geo.CalibrationOptions(
+        pass_count=3, outlier_factor=5.0, lock_principals=True, lock_focal=True
+    )
+    solved, median = geo.geometric_calibration(perturbed, feats, overlaps, opts)
+    assert median < 1.0, f"median reprojection error {median}px"
+
+    # with positions locked on a small-baseline rig, a common rotation of all
+    # cameras is near-gauge-free; remove the best global rotation before
+    # comparing (RigCompare aligns before comparing for the same reason)
+    def gauge_aligned_forward_rmse(a, b):
+        from scipy.spatial.transform import Rotation
+
+        fa = np.stack([-np.asarray(a.camera(i).rotation)[2] for i in range(len(a.ids))])
+        fb = np.stack([-np.asarray(b.camera(i).rotation)[2] for i in range(len(b.ids))])
+        rot, _ = Rotation.align_vectors(fb, fa)
+        fa_aligned = rot.apply(fa)
+        return np.sqrt(np.mean(np.sum((fa_aligned - fb) ** 2, -1)))
+
+    before = gauge_aligned_forward_rmse(perturbed, scaled)
+    after = gauge_aligned_forward_rmse(solved, scaled)
+    assert after < before, (before, after)
