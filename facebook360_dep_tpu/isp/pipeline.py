@@ -1,16 +1,20 @@
 """Software ISP: RAW Bayer -> RGB, TPU-vectorized.
 
-Reference: ``isp/CameraIsp.h:42-1299`` — companding LUT, black level,
-vignetting (Bezier H/V rolloff), white balance, CCM, demosaic, saturation,
-gamma/contrast tone curve, unsharp sharpening, configured from isp.json
-("CameraIsp" object, :520-566). The per-pixel loops become fused image ops;
-demosaic is mask-multiplied convolution (one normalized 3x3 kernel serves
-all channels), an XLA-friendly formulation of the BILINEAR method.
+Reference: ``isp/CameraIsp.h:42-1299``. Stage order mirrors
+``executePipeline`` (CameraIsp.h:1227-1237): black level -> anti-vignette ->
+white balance -> clamp/stretch -> stuck-pixel removal -> demosaic ->
+color correct (CCM + saturation + gamma/key-boost/contrast tone curve,
+:360-415) -> sharpen. All mosaic-domain stages are per-Bayer-site gains
+expressed through channel masks; the per-pixel loops become fused image ops.
+
+Demosaic filters (CameraIsp.h:32-38): BILINEAR (mask-multiplied convolution)
+and EDGE_AWARE (gradient-directed green + chroma-difference R/B, :161-247).
 """
 
 from __future__ import annotations
 
 import json
+import math
 from dataclasses import dataclass, field
 
 import jax
@@ -25,16 +29,24 @@ BAYER_OFFSETS = {
     "BGGR": {"r": (1, 1), "g": ((0, 1), (1, 0)), "b": (0, 0)},
 }
 
+DEMOSAIC_FILTERS = ("BILINEAR", "EDGE_AWARE")
+
 
 @dataclass
 class IspConfig:
     """isp.json "CameraIsp" schema (CameraIsp.h:520-566)."""
 
     bits_per_pixel: int = 8
+    width: int = 0  # sensor dims; 0 = take from the image
+    height: int = 0
     bayer_pattern: str = "GBRG"
+    companding_lut: list = field(default_factory=lambda: [(0.0, 0.0), (1.0, 1.0)])
     black_level: tuple = (0.0, 0.0, 0.0)
     clamp_min: tuple = (0.0, 0.0, 0.0)
     clamp_max: tuple = (1.0, 1.0, 1.0)
+    stuck_pixel_threshold: float = 0.0
+    stuck_pixel_darkness_threshold: float = 0.0
+    stuck_pixel_radius: int = 0
     vignette_roll_off_h: list = field(default_factory=lambda: [(1.0, 1.0, 1.0)])
     vignette_roll_off_v: list = field(default_factory=lambda: [(1.0, 1.0, 1.0)])
     white_balance_gain: tuple = (1.0, 1.0, 1.0)
@@ -45,20 +57,19 @@ class IspConfig:
     low_key_boost: tuple = (0.0, 0.0, 0.0)
     high_key_boost: tuple = (0.0, 0.0, 0.0)
     sharpening: tuple = (0.0, 0.0, 0.0)
-    sharpening_support: float = 0.0
-    stuck_pixel_threshold: int = 0
+    sharpening_support: float = 10.0 / 2048.0
+    noise_core: float = 1000.0
+    demosaic_filter: str = "BILINEAR"
+    apply_tone_curve: bool = True
 
     @classmethod
     def from_json(cls, path) -> "IspConfig":
         with open(path) as f:
             obj = json.load(f).get("CameraIsp", {})
-
-        def pt(key, default):
-            v = obj.get(key)
-            return tuple(v["x"], ) if False else (tuple(v.values()) if isinstance(v, dict) else tuple(v)) if v else default
-
         cfg = cls()
         cfg.bits_per_pixel = obj.get("bitsPerPixel", cfg.bits_per_pixel)
+        cfg.width = obj.get("width", cfg.width)
+        cfg.height = obj.get("height", cfg.height)
         cfg.bayer_pattern = obj.get("bayerPattern", cfg.bayer_pattern).upper()[:4]
         for name, attr in [
             ("blackLevel", "black_level"),
@@ -78,12 +89,22 @@ class IspConfig:
         for name, attr in [
             ("vignetteRollOffH", "vignette_roll_off_h"),
             ("vignetteRollOffV", "vignette_roll_off_v"),
+            ("compandingLut", "companding_lut"),
         ]:
             if name in obj:
-                setattr(cfg, attr, [tuple(p.values()) if isinstance(p, dict) else tuple(p) for p in obj[name]])
+                setattr(
+                    cfg, attr,
+                    [tuple(p.values()) if isinstance(p, dict) else tuple(p) for p in obj[name]],
+                )
         cfg.saturation = obj.get("saturation", cfg.saturation)
         cfg.contrast = obj.get("contrast", cfg.contrast)
         cfg.sharpening_support = obj.get("sharpeningSupport", cfg.sharpening_support)
+        cfg.noise_core = obj.get("noiseCore", cfg.noise_core)
+        cfg.stuck_pixel_threshold = obj.get("stuckPixelThreshold", cfg.stuck_pixel_threshold)
+        cfg.stuck_pixel_darkness_threshold = obj.get(
+            "stuckPixelDarknessThreshold", cfg.stuck_pixel_darkness_threshold
+        )
+        cfg.stuck_pixel_radius = obj.get("stuckPixelRadius", cfg.stuck_pixel_radius)
         return cfg
 
 
@@ -102,26 +123,100 @@ def bayer_masks(pattern: str, height: int, width: int):
     return r, g, b
 
 
+def per_site(pattern: str, height: int, width: int, rgb_triple) -> jnp.ndarray:
+    """(H, W) map holding the per-channel value at each Bayer site."""
+    r, g, b = bayer_masks(pattern, height, width)
+    v = jnp.asarray(rgb_triple, jnp.float32)
+    return r * v[0] + g * v[1] + b * v[2]
+
+
+def companding(raw: jnp.ndarray, lut_points) -> jnp.ndarray:
+    """Piecewise-linear companding curve (compandingLut, CameraIsp.h:53)."""
+    pts = np.asarray(lut_points, np.float32)
+    if len(pts) < 2 or (len(pts) == 2 and np.allclose(pts, [[0, 0], [1, 1]])):
+        return raw
+    return jnp.interp(raw, jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]))
+
+
+def _conv(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        img[None, None], kernel[None, None].astype(img.dtype), (1, 1), "SAME"
+    )[0, 0]
+
+
 def demosaic_bilinear(raw: jnp.ndarray, pattern: str) -> jnp.ndarray:
     """Mask-multiplied convolution demosaic: for each channel, convolve the
     masked mosaic and the mask with one normalized 3x3 kernel and divide
-    (the BILINEAR method of CameraIsp.h:32-38, vectorized)."""
+    (the BILINEAR method of CameraIsp.h:93-127, vectorized)."""
     h, w = raw.shape
     masks = bayer_masks(pattern, h, w)
     kernel = jnp.asarray([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]], raw.dtype)
 
-    def conv(img):
-        return jax.lax.conv_general_dilated(
-            img[None, None], kernel[None, None], (1, 1), "SAME"
-        )[0, 0]
-
     channels = []
     for m in masks:
         mf = m.astype(raw.dtype)
-        val = conv(raw * mf)
-        weight = conv(mf)
+        val = _conv(raw * mf, kernel)
+        weight = _conv(mf, kernel)
         channels.append(val / jnp.maximum(weight, 1e-12))
     return jnp.stack(channels, axis=-1)
+
+
+def demosaic_edge_aware(raw: jnp.ndarray, pattern: str) -> jnp.ndarray:
+    """Gradient-directed demosaic (EDGE_AWARE, CameraIsp.h:161-247).
+
+    Green at R/B sites is interpolated along the axis with the smaller
+    luminance gradient; R/B are reconstructed by bilinear interpolation of
+    the chroma differences (R-G, B-G) added back to the full green plane —
+    the chroma-suppression idea of demosaicChromaSuppressed, branchless via
+    jnp.where so XLA fuses the whole thing.
+    """
+    h, w = raw.shape
+    rm, gm, bm = bayer_masks(pattern, h, w)
+
+    def shift(a, dy, dx):
+        return jnp.roll(a, (dy, dx), (0, 1))
+
+    # green interpolation at non-green sites, edge-directed
+    gh = 0.5 * (shift(raw, 0, -1) + shift(raw, 0, 1))
+    gv = 0.5 * (shift(raw, -1, 0) + shift(raw, 1, 0))
+    grad_h = jnp.abs(shift(raw, 0, -1) - shift(raw, 0, 1))
+    grad_v = jnp.abs(shift(raw, -1, 0) - shift(raw, 1, 0))
+    g_interp = jnp.where(grad_h <= grad_v, gh, gv)
+    green = jnp.where(gm, raw, g_interp)
+
+    # chroma differences, bilinearly spread from their native sites
+    kernel = jnp.asarray([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]], raw.dtype)
+
+    def spread(chroma, mask):
+        mf = mask.astype(raw.dtype)
+        return _conv(chroma * mf, kernel) / jnp.maximum(_conv(mf, kernel), 1e-12)
+
+    red = green + spread(raw - green, rm)
+    blue = green + spread(raw - green, bm)
+    return jnp.stack([red, green, blue], axis=-1)
+
+
+def remove_stuck_pixels(
+    raw: jnp.ndarray, pattern: str, radius: int, threshold: float, darkness_threshold: float = 0.0
+) -> jnp.ndarray:
+    """Replace outlier sensels with the median of same-color neighbors
+    (removeStuckPixels, CameraIsp.h — vectorized redesign of its
+    boustrophedonic scalar walk). Same-color Bayer neighbors sit at even
+    offsets, so the window is a strided gather.
+    """
+    if radius <= 0:
+        return raw
+    offs = [
+        (dy, dx)
+        for dy in range(-2 * radius, 2 * radius + 1, 2)
+        for dx in range(-2 * radius, 2 * radius + 1, 2)
+        if not (dy == 0 and dx == 0)
+    ]
+    stack = jnp.stack([jnp.roll(raw, (dy, dx), (0, 1)) for dy, dx in offs])
+    med = jnp.median(stack, axis=0)
+    deviates = jnp.abs(raw - med) > threshold
+    dark_ok = med >= darkness_threshold if darkness_threshold > 0 else True
+    return jnp.where(deviates & dark_ok, med, raw)
 
 
 def bezier(control_points: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -133,42 +228,115 @@ def bezier(control_points: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return pts[0]
 
 
+def _key_bezier(a, b, c, d, t):
+    """Cubic bezier through 4 scalar controls, elementwise t."""
+    ab = a + (b - a) * t
+    bc = b + (c - b) * t
+    cd = c + (d - c) * t
+    abc = ab + (bc - ab) * t
+    bcd = bc + (cd - bc) * t
+    return abc + (bcd - abc) * t
+
+
+def tone_curve(x: jnp.ndarray, cfg: IspConfig) -> jnp.ndarray:
+    """Gamma -> low/high key boost beziers -> contrast S-slope
+    (buildToneCurveLut, CameraIsp.h:382-415) applied directly (no LUT —
+    the VPU evaluates the curve cheaper than a gather)."""
+    gamma = jnp.asarray(cfg.gamma, jnp.float32)
+    v = jnp.power(jnp.clip(x, 0.0, 1.0), gamma)
+
+    lo = jnp.asarray(cfg.low_key_boost, jnp.float32)
+    hi = jnp.asarray(cfg.high_key_boost, jnp.float32)
+    b_lo = jnp.clip(0.1666 + lo, 0.0, 1.0)
+    c_hi = jnp.clip(0.8333 + hi, 0.0, 1.0)
+    low = _key_bezier(0.0, b_lo, 0.3333, 0.5, jnp.clip(v * 2.0, 0.0, 1.0))
+    high = _key_bezier(0.5, 0.6666, c_hi, 1.0, jnp.clip((v - 0.5) * 2.0, 0.0, 1.0))
+    v = jnp.where(v <= 0.5, low, high)
+
+    slope = math.tan(math.pi * 0.25 * cfg.contrast)
+    bias = 0.5 * (1.0 - slope)
+    return jnp.clip(slope * v + bias, 0.0, 1.0)
+
+
+def iir_low_pass(img: jnp.ndarray, support: float) -> jnp.ndarray:
+    """Separable low pass with the support fraction of the reference's IIR
+    blur (CameraIsp sharpen; isp/Filter.h iirLowPass), realized as a
+    Gaussian-like box cascade sized from the support."""
+    h, w = img.shape[:2]
+    radius = max(int(round(support * max(h, w))), 1)
+    from ..ops import sampling
+
+    out = img
+    for _ in range(3):  # box^3 ~ Gaussian
+        out = sampling.box_mean(out, radius)
+    return out
+
+
+def sharpen(rgb: jnp.ndarray, cfg: IspConfig) -> jnp.ndarray:
+    """Noise-cored unsharp mask (sharpenWithIirLowPass)."""
+    sharp = np.asarray(cfg.sharpening, np.float32)
+    if not np.any(sharp != 0):
+        return rgb
+    low = iir_low_pass(rgb, cfg.sharpening_support)
+    detail = rgb - low
+    # noise coring: suppress amplification of tiny (noise) details
+    core = 1.0 - jnp.exp(-jnp.abs(detail) * cfg.noise_core)
+    return jnp.clip(rgb + jnp.asarray(sharp) * detail * core, 0.0, 1.0)
+
+
 def process(raw: jnp.ndarray, cfg: IspConfig) -> jnp.ndarray:
-    """RAW mosaic float [0,1] (H, W) -> RGB float [0,1] (H, W, 3)."""
+    """RAW mosaic float [0,1] (H, W) -> RGB float [0,1] (H, W, 3).
+
+    Stage order = executePipeline (CameraIsp.h:1227-1237)."""
     raw = jnp.asarray(raw, jnp.float32)
     h, w = raw.shape
 
-    # vignetting correction: separable H/V Bezier rolloff (CameraIsp.h:84-85)
+    raw = companding(raw, cfg.companding_lut)
+
+    # black level (per channel, on the mosaic)
+    black = per_site(cfg.bayer_pattern, h, w, cfg.black_level)
+    raw = (raw - black) / jnp.maximum(1.0 - black, 1e-6)
+
+    # anti-vignette: separable H/V Bezier rolloff (CameraIsp.h:1096)
     roll_h = bezier(jnp.asarray(cfg.vignette_roll_off_h, jnp.float32), jnp.arange(w) / max(w - 1, 1))
     roll_v = bezier(jnp.asarray(cfg.vignette_roll_off_v, jnp.float32), jnp.arange(h) / max(h - 1, 1))
     vignette = roll_v[:, None, :] * roll_h[None, :, :]  # (H, W, 3)
+    r_m, g_m, b_m = bayer_masks(cfg.bayer_pattern, h, w)
+    vig_site = (
+        r_m * vignette[..., 0] + g_m * vignette[..., 1] + b_m * vignette[..., 2]
+    )
+    raw = raw / jnp.maximum(vig_site, 1e-6)
 
-    rgb = demosaic_bilinear(raw, cfg.bayer_pattern)
-    black = jnp.asarray(cfg.black_level, jnp.float32)
-    rgb = (rgb - black) / jnp.maximum(1.0 - black, 1e-6)
-    rgb = rgb / jnp.maximum(vignette, 1e-6)
-    rgb = rgb * jnp.asarray(cfg.white_balance_gain, jnp.float32)
-    rgb = jnp.clip(rgb, jnp.asarray(cfg.clamp_min), jnp.asarray(cfg.clamp_max))
+    # white balance (on the mosaic)
+    raw = raw * per_site(cfg.bayer_pattern, h, w, cfg.white_balance_gain)
+
+    # clamp and stretch
+    cmin = per_site(cfg.bayer_pattern, h, w, cfg.clamp_min)
+    cmax = per_site(cfg.bayer_pattern, h, w, cfg.clamp_max)
+    raw = jnp.clip(raw, cmin, cmax)
+
+    raw = remove_stuck_pixels(
+        raw, cfg.bayer_pattern, cfg.stuck_pixel_radius,
+        cfg.stuck_pixel_threshold, cfg.stuck_pixel_darkness_threshold,
+    )
+
+    if cfg.demosaic_filter.upper() == "EDGE_AWARE":
+        rgb = demosaic_edge_aware(raw, cfg.bayer_pattern)
+    else:
+        rgb = demosaic_bilinear(raw, cfg.bayer_pattern)
+
+    # color correct: CCM then saturation in Y/chroma space (colorCorrect)
     rgb = jnp.einsum("ij,hwj->hwi", jnp.asarray(cfg.ccm, jnp.float32), rgb)
-
-    # saturation in Y/chroma space (CameraIsp saturation stage)
     if cfg.saturation != 1.0:
         y = jnp.sum(rgb * jnp.asarray([0.299, 0.587, 0.114]), axis=-1, keepdims=True)
         rgb = y + (rgb - y) * cfg.saturation
 
-    # tone curve: gamma + contrast S-curve around mid-gray
-    rgb = jnp.power(jnp.clip(rgb, 0.0, 1.0), jnp.asarray(cfg.gamma, jnp.float32))
-    if cfg.contrast != 1.0:
-        rgb = jnp.clip((rgb - 0.5) * cfg.contrast + 0.5, 0.0, 1.0)
+    if cfg.apply_tone_curve:
+        rgb = tone_curve(rgb, cfg)
+    else:
+        rgb = jnp.clip(rgb, 0.0, 1.0)
 
-    # unsharp-mask sharpening
-    sharp = jnp.asarray(cfg.sharpening, jnp.float32)
-    if np.any(np.asarray(cfg.sharpening) != 0):
-        from ..ops import sampling
-
-        blurred = sampling.box_mean(rgb, 1)
-        rgb = jnp.clip(rgb + sharp * (rgb - blurred), 0.0, 1.0)
-    return rgb
+    return sharpen(rgb, cfg)
 
 
 def mosaic(rgb: np.ndarray, pattern: str) -> np.ndarray:
