@@ -1,0 +1,77 @@
+"""Data-plane transfer + TPU fleet provisioning tests (all offline)."""
+
+import os
+
+import numpy as np
+
+from facebook360_dep_tpu.farm import cluster, transfer
+
+
+def test_address_parse():
+    a = transfer.Address.parse("gs://bucket/path/x")
+    assert a.protocol == "gs" and a.path == "bucket/path/x" and a.is_remote
+    assert a.join("color", "cam0").uri() == "gs://bucket/path/x/color/cam0"
+    b = transfer.Address.parse("/local/dir")
+    assert not b.is_remote and b.uri() == "/local/dir"
+    s = transfer.Address.parse("s3://b/k")
+    assert s.protocol == "s3"
+
+
+def test_local_transfer(tmp_path):
+    src = tmp_path / "src" / "a.txt"
+    os.makedirs(src.parent)
+    src.write_text("hello")
+    transfer.transfer(str(src), str(tmp_path / "dst" / "a.txt"))
+    assert (tmp_path / "dst" / "a.txt").read_text() == "hello"
+    transfer.transfer(str(tmp_path / "src"), str(tmp_path / "dst2"))
+    assert (tmp_path / "dst2" / "a.txt").read_text() == "hello"
+
+
+def test_remote_transfer_commands():
+    cmd = transfer.transfer("gs://b/x", "/local", sync=True, dry_run=True)
+    assert cmd[0] == "gsutil" and "rsync" in cmd
+    cmd = transfer.transfer("s3://b/x", "/local", sync=True, dry_run=True)
+    assert cmd[:3] == ["aws", "s3", "sync"]
+
+
+def test_frame_tar_roundtrip(tmp_path):
+    from facebook360_dep_tpu.core import imagetypes, io
+
+    root = tmp_path / "proj"
+    for cam_id in ("cam0", "cam1"):
+        d = imagetypes.image_dir(str(root), "color", None, cam_id)
+        os.makedirs(d)
+        io.write_color(os.path.join(d, "000003.png"), np.zeros((4, 4, 3), np.float32))
+        io.write_color(os.path.join(d, "000004.png"), np.zeros((4, 4, 3), np.float32))
+    tar = transfer.pack_frame_tar(str(root), "000003", str(tmp_path / "f.tar"), ["color"])
+    names = transfer.unpack_frame_tar(tar, str(tmp_path / "out"))
+    assert sorted(names) == [
+        "video/color/cam0/000003.png",
+        "video/color/cam1/000003.png",
+    ]
+    assert os.path.exists(tmp_path / "out" / "video" / "color" / "cam1" / "000003.png")
+
+
+def test_fleet_dry_run_lifecycle():
+    cfg = cluster.ClusterConfig(name="t", workers=2, gcs_root="gs://b/proj")
+    fleet = cluster.TpuFleet(cfg, dry_run=True)
+    fleet.create()
+    fleet.run_render("gs://b/proj/in", "gs://b/proj/out", first=0, last=9, chunk_size=2)
+    fleet.terminate()
+    plan = fleet.plan()
+    assert plan.count("tpu-vm create") == 2
+    assert "--accelerator-type=v5litepod-8" in plan
+    # frame range sharded across the two workers
+    assert "--first=000000" in plan and "--last=000004" in plan
+    assert "--first=000005" in plan and "--last=000009" in plan
+    assert plan.count("tpu-vm delete") == 2
+
+
+def test_fleet_cli_dry_run(capsys):
+    fleet = cluster.main([
+        "--workers", "2", "--input_root", "gs://b/in", "--output_root", "gs://b/out",
+        "--first", "0", "--last", "3", "--dry_run", "--gcs_root", "gs://b/ws",
+    ])
+    out = capsys.readouterr().out
+    assert "tpu-vm create" in out and "render_pipeline" in out
+    assert len(fleet.issued) >= 4
