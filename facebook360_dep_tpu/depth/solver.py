@@ -52,6 +52,8 @@ class LevelContext(NamedTuple):
     dst_bg_disp: jnp.ndarray  # (D, H, W)
     var_noise_floor: jnp.ndarray  # () level-scaled (PyramidLevel.h:232-236)
     var_high_thresh: jnp.ndarray  # ()
+    dst_rays: jnp.ndarray  # (D, H, W, 3) precomputed dst pixel ray dirs
+    src_imgs_t: jnp.ndarray | None = None  # (N, W, H, 3) transposed (Pallas sampler)
 
 
 class SolverConfig(NamedTuple):
@@ -80,6 +82,7 @@ def make_level_context(
     var_noise_floor=4e-5,
     var_high_thresh=1e-3,
     full_height=None,
+    use_pallas_sampler: bool | None = None,
 ) -> LevelContext:
     """Build the device context (computes per-src variance; PyramidLevel.h:232-247)."""
     src_imgs = jnp.asarray(src_imgs, jnp.float32)
@@ -99,9 +102,17 @@ def make_level_context(
     def to_f32(c):
         return jax.tree.map(lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else jnp.asarray(a), c)
 
+    dst_cams_f32 = to_f32(rig_dst.cameras)
+    # dst unprojection is disparity-independent: hoist the Newton undistort
+    # out of every cost evaluation (cost.dst_ray_dirs)
+    dst_rays = jax.lax.map(
+        lambda c: cost_ops.dst_ray_dirs(c, h, w),
+        dst_cams_f32,
+    )
+
     return LevelContext(
         src_cams=to_f32(rig_src.cameras),
-        dst_cams=to_f32(rig_dst.cameras),
+        dst_cams=dst_cams_f32,
         dst2src=jnp.asarray(cam.map_src_to_dst_indexes(rig_src, rig_dst)),
         src_imgs=src_imgs,
         src_variance=variance,
@@ -110,6 +121,10 @@ def make_level_context(
         dst_bg_disp=jnp.asarray(dst_bg_disp, jnp.float32),
         var_noise_floor=jnp.asarray(floor, jnp.float32),
         var_high_thresh=jnp.asarray(var_high_thresh, jnp.float32),
+        dst_rays=dst_rays,
+        src_imgs_t=(
+            jnp.swapaxes(src_imgs[..., :3], 1, 2) if use_pallas_sampler else None
+        ),
     )
 
 
@@ -122,6 +137,8 @@ def _cost_ctx(ctx: LevelContext, dst_idx) -> CostContext:
         src_imgs=ctx.src_imgs,
         variance=ctx.src_variance[src_idx],
         exclude_idx=src_idx,
+        dst_rays=ctx.dst_rays[dst_idx],
+        src_imgs_t=ctx.src_imgs_t,
     )
 
 

@@ -20,8 +20,13 @@ camera at once, as a chain of fused vector ops:
      SSDs of the keepers, divide by keep (trust) and by local variance
      (confidence) — Derp.cpp:203-225.
 
-Everything is (N_src, H, W)-shaped; XLA fuses steps 2-3 and the cross-camera
-reduction rides a single small sort over the N_src axis.
+TPU shape of the computation: the dst unprojection (Newton undistort) does
+not depend on disparity, so dst ray directions are precomputed once per
+level and every cost evaluation is just ``position + ray * depth`` plus the
+src-side projection polynomial. The cross-camera reduction streams over
+sources with a running drop-2-worst accumulator (lax.scan) instead of
+materializing (N_src, H, W) stacks — at 2K x 16 cameras the stacked form
+triples HBM traffic and was measured 3x slower.
 """
 
 from __future__ import annotations
@@ -33,6 +38,7 @@ import jax.numpy as jnp
 
 from ..core import camera as cam
 from . import sampling
+from . import warp_pallas
 
 # Algorithm constants (Derp.h:26-48)
 SEARCH_WINDOW_RADIUS = 1
@@ -54,6 +60,17 @@ class CostContext(NamedTuple):
     src_imgs: jnp.ndarray  # (N, Hs, Ws, 3)
     variance: jnp.ndarray  # (H, W) dst color variance
     exclude_idx: jnp.ndarray  # () int32: index of dst within src rig
+    dst_rays: jnp.ndarray  # (H, W, 3) unit ray dirs of the dst pixels
+    src_imgs_t: jnp.ndarray | None = None  # (N, Ws, Hs, 3) transposed (Pallas path)
+
+
+def dst_ray_dirs(cam_dst, h: int, w: int) -> jnp.ndarray:
+    """(H, W, 3) unit rays through the dst pixel centers (normalized pixel
+    units). This is the disparity-independent half of dstToWorldPoint
+    (DerpUtil.cpp:38-52): hoisting it out of the cost evaluation removes the
+    Newton undistort from the hot loop."""
+    grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
+    return cam.ray_dir(cam_dst, grid)
 
 
 def probe_disparities(num: int, min_disparity: float, max_disparity: float) -> jnp.ndarray:
@@ -70,29 +87,44 @@ def reproject_to_src(cam_dst, cam_src, disparity, dst_hw, src_hw):
     Derp.cpp:144-162 (dstToWorldPoint -> worldToSrcPoint).
     """
     h, w = dst_hw
+    rays = dst_ray_dirs(cam_dst, h, w)
+    return reproject_rays(cam_dst.position, rays, cam_src, disparity, src_hw)
+
+
+def reproject_rays(dst_position, dst_rays, cam_src, disparity, src_hw):
+    """reproject_to_src with the dst unprojection already done: the cheap,
+    disparity-dependent half of the warp."""
     hs, ws = src_hw
-    grid = sampling.pixel_center_grid(h, w)
-    pix_norm = grid / jnp.asarray([w, h], jnp.float32)
+    h, w = dst_rays.shape[:2]
     disparity = jnp.broadcast_to(jnp.asarray(disparity, jnp.float32), (h, w))
     depth = 1.0 / jnp.maximum(disparity, 1e-12)
-    world = cam.rig_point(cam_dst, pix_norm, depth)
+    world = dst_position + dst_rays * depth[..., None]
     src_pix, valid = cam.sees(cam_src, world)
     coords = src_pix * jnp.asarray([ws, hs], jnp.float32)
     valid &= (disparity > 0) & jnp.all(jnp.isfinite(coords), axis=-1)
     return coords, valid
 
 
-def per_src_ssd(cam_dst, cam_src, dst_img, src_img, disparity, radius=SEARCH_WINDOW_RADIUS):
+def per_src_ssd(ctx_pos_rays, cam_src, dst_img, src_img, disparity, radius=SEARCH_WINDOW_RADIUS, src_img_t=None):
     """Biased & bias-compensated patch SSD maps for one src camera.
 
-    Returns (biased, unbiased, valid), each (H, W). Patch terms whose own
-    reprojection is invalid are excluded via masked normalization (the
-    reference instead clamps out-of-range samples; differences appear only in
-    the 1-2 px band at src FOV edges).
+    ``ctx_pos_rays`` is (dst_position, dst_rays). Returns (biased, unbiased,
+    valid), each (H, W). Patch terms whose own reprojection is invalid are
+    excluded via masked normalization (the reference instead clamps
+    out-of-range samples; differences appear only in the 1-2 px band at src
+    FOV edges).
     """
-    h, w = dst_img.shape[:2]
-    coords, valid = reproject_to_src(cam_dst, cam_src, disparity, (h, w), src_img.shape[:2])
-    sampled = sampling.bilinear_sample(src_img[..., :3], coords)
+    dst_position, dst_rays = ctx_pos_rays
+    coords, valid = reproject_rays(dst_position, dst_rays, cam_src, disparity, src_img.shape[:2])
+    if src_img_t is not None:
+        # Pallas windowed warp sampler (warp_pallas): dense DMA + MXU
+        # contraction instead of an HBM row gather
+        coords_p, (h0, w0) = warp_pallas.pad_to_tiles(coords)
+        sampled, k_valid = warp_pallas.warp_sample_transposed(src_img_t, coords_p)
+        sampled = sampled[:h0, :w0]
+        valid &= k_valid[:h0, :w0] > 0.5
+    else:
+        sampled = sampling.bilinear_sample(src_img[..., :3], coords)
     validf = valid.astype(dst_img.dtype)
     diff = jnp.where(valid[..., None], dst_img[..., :3] - sampled, 0.0)
 
@@ -138,16 +170,64 @@ def combine_ssds(biased, unbiased, valid, variance):
 
 
 def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Cost + confidence maps for a whole disparity map (or scalar hypothesis)."""
+    """Cost + confidence maps for a whole disparity map (or scalar hypothesis).
+
+    Streams over src cameras with a running drop-2-worst accumulator
+    (equivalent to the sort in combine_ssds, without materializing
+    (N_src, H, W) stacks): per pixel keep the two largest biased SSDs seen so
+    far plus the running unbiased sum; at the end subtract the unbiased
+    values of the worst (count>=3), of just the worst (count==2), or nothing
+    (count==1) — exactly the keep = clip(max(count-2, 1), 1, n) rule of
+    Derp.cpp:203-225.
+    """
     n = ctx.src_imgs.shape[0]
+    h, w = ctx.dst_img.shape[:2]
+    pos_rays = (ctx.cam_dst.position, ctx.dst_rays)
+    neg = jnp.float32(-FLT_MAX)
 
-    def one(cam_src, src_img):
-        return per_src_ssd(ctx.cam_dst, cam_src, ctx.dst_img, src_img, disparity)
+    def step(carry, xs):
+        b1, u1, b2, u2, total_u, count = carry
+        cam_src, src_img, idx, src_img_t = xs
+        biased, unbiased, valid = per_src_ssd(
+            pos_rays, cam_src, ctx.dst_img, src_img, disparity, src_img_t=src_img_t
+        )
+        valid &= idx != ctx.exclude_idx
+        b = jnp.where(valid, biased, neg)
+        u = jnp.where(valid, unbiased, 0.0)
+        is1 = b > b1
+        nb1 = jnp.where(is1, b, b1)
+        nu1 = jnp.where(is1, u, u1)
+        b_dem = jnp.where(is1, b1, b)
+        u_dem = jnp.where(is1, u1, u)
+        is2 = b_dem > b2
+        nb2 = jnp.where(is2, b_dem, b2)
+        nu2 = jnp.where(is2, u_dem, u2)
+        return (
+            nb1, nu1, nb2, nu2,
+            total_u + u,
+            count + valid.astype(jnp.int32),
+        ), None
 
-    biased, unbiased, valid = jax.vmap(one)(ctx.src_cams, ctx.src_imgs)
-    not_self = jnp.arange(n) != ctx.exclude_idx
-    valid &= not_self[:, None, None]
-    return combine_ssds(biased, unbiased, valid, ctx.variance)
+    init = (
+        jnp.full((h, w), neg), jnp.zeros((h, w), jnp.float32),
+        jnp.full((h, w), neg), jnp.zeros((h, w), jnp.float32),
+        jnp.zeros((h, w), jnp.float32), jnp.zeros((h, w), jnp.int32),
+    )
+    xs = (ctx.src_cams, ctx.src_imgs, jnp.arange(n, dtype=jnp.int32), ctx.src_imgs_t)
+    (b1, u1, b2, u2, total_u, count), _ = jax.lax.scan(step, init, xs)
+
+    min_keep = MIN_OVERLAPPING_CAMS - 1
+    keep = jnp.clip(jnp.maximum(count - 2, min_keep), 1, n)
+    drop = count - keep  # 0, 1, or 2
+    cost_sum = total_u - jnp.where(drop >= 1, u1, 0.0) - jnp.where(drop >= 2, u2, 0.0)
+    keepf = keep.astype(jnp.float32)
+    confidence = jnp.maximum(ctx.variance, MIN_VAR)
+    cost = cost_sum / (keepf * keepf) / confidence
+
+    enough = count >= min_keep
+    cost = jnp.where(enough, cost, FLT_MAX)
+    confidence = jnp.where(enough, confidence, 0.0)
+    return cost, confidence
 
 
 def brute_force_disparity(

@@ -46,39 +46,42 @@ def ray_sphere_depth(origins, dirs, center, radius):
     return jnp.where(disc >= 0, t, jnp.nan)
 
 
-def render_sphere_scene(rig: cam.Rig, size_wh, radius: float = 5.0, center=(0.0, 0.0, 0.0), seed: int = 7):
+def render_sphere_scene(rig: cam.Rig, size_wh, radius: float = 5.0, as_numpy: bool = True, center=(0.0, 0.0, 0.0), seed: int = 7):
     """Render every rig camera against a textured sphere.
 
     Returns (colors (N, H, W, 3), gt_disparity (N, H, W)). Cameras must sit
     inside the sphere; disparity = 1 / (camera-to-hit distance), matching the
     solver's definition (DerpUtil.cpp:38-52).
 
-    Runs pinned to the CPU backend: this is test-fixture generation, and it
-    must not consume accelerator compile time in benchmarks.
+    With ``as_numpy=False`` the results stay on the default device — large
+    benchmark fixtures should be generated and consumed on-device (a 2K
+    16-camera stack is >0.5 GB; host round-trips through the device tunnel
+    dominate wall-clock otherwise).
     """
     w, h = int(size_wh[0]), int(size_wh[1])
     nrig = cam.normalize_rig(rig)
 
-    with jax.default_device(jax.devices("cpu")[0]):
-        cams = jax.tree.map(
-            lambda a: jnp.asarray(np.asarray(a), jnp.float32)
-            if np.asarray(a).dtype.kind == "f"
-            else jnp.asarray(np.asarray(a)),
-            nrig.cameras,
-        )
-        grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
+    cams = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+        if np.asarray(a).dtype.kind == "f"
+        else jnp.asarray(np.asarray(a)),
+        nrig.cameras,
+    )
+    grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
 
-        def one(c):
-            d = cam.ray_dir(c, grid)
-            t = ray_sphere_depth(c.position, d, center, radius)
-            hit = c.position + d * t[..., None]
-            tex_dir = hit - jnp.asarray(center, jnp.float32)
-            tex_dir = tex_dir / jnp.linalg.norm(tex_dir, axis=-1, keepdims=True)
-            color = procedural_texture(tex_dir, seed)
-            return color, 1.0 / t
+    def one(c):
+        d = cam.ray_dir(c, grid)
+        t = ray_sphere_depth(c.position, d, center, radius)
+        hit = c.position + d * t[..., None]
+        tex_dir = hit - jnp.asarray(center, jnp.float32)
+        tex_dir = tex_dir / jnp.linalg.norm(tex_dir, axis=-1, keepdims=True)
+        color = procedural_texture(tex_dir, seed)
+        return color, 1.0 / t
 
-        colors, disparity = jax.vmap(one)(cams)
+    colors, disparity = jax.jit(jax.vmap(one))(cams)
+    if as_numpy:
         return np.asarray(colors), np.asarray(disparity)
+    return colors, disparity
 
 
 def make_test_rig(

@@ -1,0 +1,110 @@
+"""Pallas warp-sampler vs the XLA gather reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from facebook360_dep_tpu.ops import sampling, warp_pallas
+
+
+def _smooth_warp(h, w, hs, ws, mag=1.0, seed=0):
+    """Coords with bounded local magnification (plane-sweep-like)."""
+    rng = np.random.RandomState(seed)
+    grid = np.asarray(sampling.pixel_center_grid(h, w))
+    shift = rng.uniform(-3, 3, (1, 1, 2))
+    scale = np.asarray([ws / w, hs / h]) * mag
+    return (grid * scale + shift).astype(np.float32)
+
+
+def test_matches_bilinear_reference():
+    rng = np.random.RandomState(1)
+    hs, ws = 64, 160
+    img = rng.rand(hs, ws, 3).astype(np.float32)
+    coords = _smooth_warp(64, 128, hs, ws, mag=0.9)
+    out, valid = warp_pallas.warp_sample(jnp.asarray(img), jnp.asarray(coords), interpret=True)
+    ref = np.asarray(sampling.bilinear_sample(jnp.asarray(img), jnp.asarray(coords)))
+    out, valid = np.asarray(out), np.asarray(valid)
+    assert valid.mean() > 0.9
+    ok = valid > 0.5
+    assert np.abs(out[ok] - ref[ok]).max() < 1e-5
+
+
+def test_padding_and_arbitrary_size():
+    rng = np.random.RandomState(2)
+    hs, ws = 48, 200
+    img = rng.rand(hs, ws, 3).astype(np.float32)
+    coords = _smooth_warp(45, 150, hs, ws, mag=0.8)  # non-tile-aligned
+    out, valid = warp_pallas.warp_sample(jnp.asarray(img), jnp.asarray(coords), interpret=True)
+    assert out.shape == (45, 150, 3)
+    ref = np.asarray(sampling.bilinear_sample(jnp.asarray(img), jnp.asarray(coords)))
+    ok = np.asarray(valid) > 0.5
+    assert ok.mean() > 0.8
+    assert np.abs(np.asarray(out)[ok] - ref[ok]).max() < 1e-5
+
+
+def test_overflow_window_flags_invalid():
+    rng = np.random.RandomState(3)
+    hs, ws = 512, 512
+    img = rng.rand(hs, ws, 1).astype(np.float32)
+    # magnification 4 in x: a 128-wide tile spans 512 src px > WINDOW_W
+    coords = _smooth_warp(8, 128, hs, ws, mag=4.0)
+    coords[..., 1] = 10.0  # keep y in range
+    out, valid = warp_pallas.warp_sample(jnp.asarray(img), jnp.asarray(coords), interpret=True)
+    valid = np.asarray(valid)
+    assert valid.mean() < 1.0  # some samples must overflow
+    # invalid samples are zeroed
+    assert np.all(np.asarray(out)[valid < 0.5] == 0.0)
+
+
+def test_nonfinite_coords_invalid():
+    rng = np.random.RandomState(4)
+    img = rng.rand(32, 256, 3).astype(np.float32)
+    coords = _smooth_warp(8, 128, 32, 256, mag=0.5)
+    coords[2, 5] = np.nan
+    out, valid = warp_pallas.warp_sample(jnp.asarray(img), jnp.asarray(coords), interpret=True)
+    valid = np.asarray(valid)
+    assert valid[2, 5] == 0.0
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_clamp_to_edge_matches_reference():
+    rng = np.random.RandomState(5)
+    hs, ws = 32, 256
+    img = rng.rand(hs, ws, 3).astype(np.float32)
+    grid = np.asarray(sampling.pixel_center_grid(8, 128))
+    coords = grid.copy()
+    coords[..., 0] -= 4.0  # pushes some x before the left edge
+    out, valid = warp_pallas.warp_sample(jnp.asarray(img), jnp.asarray(coords.astype(np.float32)), interpret=True)
+    ref = np.asarray(sampling.bilinear_sample(jnp.asarray(img), jnp.asarray(coords.astype(np.float32))))
+    ok = np.asarray(valid) > 0.5
+    assert ok.all()
+    assert np.abs(np.asarray(out)[ok] - ref[ok]).max() < 1e-5
+
+
+def test_solver_cost_matches_gather_path():
+    """cost_for_disparity with the Pallas sampler (interpret mode) vs the XLA
+    gather path on a real scene: identical where the window suffices."""
+    from facebook360_dep_tpu.core import camera as cam
+    from facebook360_dep_tpu.depth import pipeline, solver
+    from facebook360_dep_tpu.ops import cost as cost_ops
+    from facebook360_dep_tpu.render import synthetic
+
+    size = (128, 96)
+    rig = synthetic.make_test_rig(num_cameras=4, resolution=size, ring_radius=0.1)
+    nrig = cam.normalize_rig(rig)
+    colors, gt = synthetic.render_sphere_scene(rig, size, radius=5.0)
+    fov = pipeline.generate_fov_masks(nrig, colors.shape[1:3])
+
+    ctx_ref = solver.make_level_context(nrig, nrig, colors, fov)
+    ctx_pal = solver.make_level_context(nrig, nrig, colors, fov, use_pallas_sampler=True)
+
+    disp = jnp.asarray(gt[0])
+    c_ref, conf_ref = cost_ops.cost_for_disparity(solver._cost_ctx(ctx_ref, 0), disp)
+    c_pal, conf_pal = cost_ops.cost_for_disparity(solver._cost_ctx(ctx_pal, 0), disp)
+    c_ref, c_pal = np.asarray(c_ref), np.asarray(c_pal)
+    both = np.isfinite(c_ref) & np.isfinite(c_pal) & (c_ref < 1e30) & (c_pal < 1e30)
+    assert both.mean() > 0.5
+    # identical costs where both paths have full source windows
+    close = np.abs(c_pal[both] - c_ref[both]) <= 1e-3 * (1.0 + np.abs(c_ref[both]))
+    assert close.mean() > 0.95, close.mean()
