@@ -69,9 +69,9 @@ def main():
     # --- fine level: full refinement at 2K ---------------------------------
     colors_f, gt_f = synthetic.render_sphere_scene(rig, FINE_SIZE, radius=5.0, as_numpy=False)
     fov_f = pipeline.generate_fov_masks(dst_rig, (FINE_SIZE[1], FINE_SIZE[0]))
-    ctx_f = solver.make_level_context(nrig, dst_rig, colors_f, fov_f)
+    ctx_f = solver.make_level_context(nrig, dst_rig, colors_f, fov_f, use_pallas_sampler=True)
     cfg_f = solver.SolverConfig(
-        min_depth=1.0, max_depth=100.0, level=1, num_levels=2,
+        min_depth=1.0, max_depth=100.0, level=0, num_levels=2,
         num_random_proposals=2, ping_pong_iterations=1,
     )
     key = jax.random.PRNGKey(0)

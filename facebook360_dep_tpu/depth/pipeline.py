@@ -262,6 +262,9 @@ class DepthEstimator:
                     var_noise_floor=self.opts.var_noise_floor,
                     var_high_thresh=self.opts.var_high_thresh,
                     full_height=self.full_height,
+                    # windowed Pallas sampler: worth its VMEM windows only at
+                    # wide levels (alignment margins dominate narrow images)
+                    use_pallas_sampler=w >= 512,
                 )
                 # below the coarsest level, init from the coarser level's saved
                 # result (also how mid-pyramid resume works; DerpCLI.cpp:271-303)

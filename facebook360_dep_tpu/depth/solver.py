@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..core import camera as cam
 from ..ops import cost as cost_ops
-from ..ops import filters, sampling
+from ..ops import filters, sampling, warp_pallas
 from ..ops.cost import FLT_MAX, CostContext
 
 
@@ -53,7 +53,7 @@ class LevelContext(NamedTuple):
     var_noise_floor: jnp.ndarray  # () level-scaled (PyramidLevel.h:232-236)
     var_high_thresh: jnp.ndarray  # ()
     dst_rays: jnp.ndarray  # (D, H, W, 3) precomputed dst pixel ray dirs
-    src_imgs_t: jnp.ndarray | None = None  # (N, W, H, 3) transposed (Pallas sampler)
+    src_imgs_t: jnp.ndarray | None = None  # (N, 3, H, W) planar (Pallas sampler)
 
 
 class SolverConfig(NamedTuple):
@@ -122,8 +122,12 @@ def make_level_context(
         var_noise_floor=jnp.asarray(floor, jnp.float32),
         var_high_thresh=jnp.asarray(var_high_thresh, jnp.float32),
         dst_rays=dst_rays,
+        # bf16 halves sampler DMA; the MXU's default precision rounds its
+        # inputs to bf16 regardless, so this loses nothing
         src_imgs_t=(
-            jnp.swapaxes(src_imgs[..., :3], 1, 2) if use_pallas_sampler else None
+            warp_pallas.planar_for_sampling(src_imgs[..., :3]).astype(jnp.bfloat16)
+            if use_pallas_sampler
+            else None
         ),
     )
 
@@ -358,13 +362,38 @@ def mask_fov(ctx: LevelContext, disparity):
     return jnp.where(ctx.dst_fov_masks, disparity, jnp.nan)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def process_level(ctx: LevelContext, cfg: SolverConfig, init_disparity=None, key=None):
+# Per-stage jitted entry points. process_level sequences them from the host
+# rather than fusing one giant program: at 2K x 16 cameras the fully-fused
+# level program exceeds what the TPU compiler/runtime handles (each stage
+# compiles and runs fine; the fusion of all of them faults the device), and
+# host sequencing costs only ~6 ms of dispatch per stage.
+_jit_brute_force = jax.jit(brute_force_all, static_argnames=("cfg",))
+_jit_random_proposals = jax.jit(random_proposals, static_argnames=("cfg",))
+_jit_ping_pong = jax.jit(ping_pong, static_argnames=("cfg",))
+_jit_mismatches = jax.jit(handle_mismatches, static_argnames=("cfg",))
+_jit_bilateral = jax.jit(spatial_bilateral, static_argnames=("cfg",))
+_jit_median = jax.jit(median_filter, static_argnames=("cfg",))
+_jit_mask_fov = jax.jit(mask_fov)
+
+
+def process_level(ctx: LevelContext, cfg: SolverConfig, init_disparity=None, key=None,
+                  debug_sync: bool = False):
     """Full per-level pipeline (Derp.cpp:1005-1034). ``init_disparity`` is the
     upsampled coarser-level result (None at the coarsest level).
 
     Returns dict with disparity/cost/confidence/mismatch-mask maps (D, H, W).
+    With ``debug_sync`` every stage blocks and logs (device-fault bisection).
     """
+    import logging as _logging
+
+    _slog = _logging.getLogger("solver")
+
+    def _sync(name, val):
+        if debug_sync:
+            jax.block_until_ready(val)
+            _slog.info("stage %s done", name)
+        return val
+
     d = len(ctx.dst2src)
     h, w = ctx.src_imgs.shape[1:3]
     coarsest = cfg.level == cfg.num_levels - 1
@@ -372,7 +401,7 @@ def process_level(ctx: LevelContext, cfg: SolverConfig, init_disparity=None, key
         key = jax.random.PRNGKey(cfg.level)
 
     if coarsest or init_disparity is None:
-        disparity, costs, confidences = brute_force_all(ctx, cfg)
+        disparity, costs, confidences = _sync("brute_force", _jit_brute_force(ctx, cfg))
     else:
         disparity = jnp.asarray(init_disparity, jnp.float32)
         costs = jnp.full((d, h, w), jnp.inf, jnp.float32)
@@ -380,18 +409,21 @@ def process_level(ctx: LevelContext, cfg: SolverConfig, init_disparity=None, key
 
     mismatch_mask = jnp.zeros((d, h, w), bool)
     if not coarsest:
-        disparity, costs, confidences = random_proposals(
-            ctx, cfg, disparity, costs, confidences, key
+        disparity, costs, confidences = _sync(
+            "random_proposals",
+            _jit_random_proposals(ctx, cfg, disparity, costs, confidences, key),
         )
-        disparity, costs, confidences = ping_pong(ctx, cfg, disparity, costs, confidences)
+        disparity, costs, confidences = _sync(
+            "ping_pong", _jit_ping_pong(ctx, cfg, disparity, costs, confidences)
+        )
         if 0 <= cfg.level <= cfg.mismatches_start_level:
-            disparity, mismatch_mask = handle_mismatches(ctx, cfg, disparity)
+            disparity, mismatch_mask = _sync("mismatches", _jit_mismatches(ctx, cfg, disparity))
 
     if cfg.do_bilateral_filter:
-        disparity = spatial_bilateral(ctx, cfg, disparity)
+        disparity = _sync("bilateral", _jit_bilateral(ctx, cfg, disparity))
     if cfg.do_median_filter:
-        disparity = median_filter(ctx, cfg, disparity)
-    disparity = mask_fov(ctx, disparity)
+        disparity = _sync("median", _jit_median(ctx, cfg, disparity))
+    disparity = _sync("mask_fov", _jit_mask_fov(ctx, disparity))
     return {
         "disparity": disparity,
         "cost": costs,

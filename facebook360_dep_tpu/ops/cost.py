@@ -23,10 +23,10 @@ camera at once, as a chain of fused vector ops:
 TPU shape of the computation: the dst unprojection (Newton undistort) does
 not depend on disparity, so dst ray directions are precomputed once per
 level and every cost evaluation is just ``position + ray * depth`` plus the
-src-side projection polynomial. The cross-camera reduction streams over
-sources with a running drop-2-worst accumulator (lax.scan) instead of
-materializing (N_src, H, W) stacks — at 2K x 16 cameras the stacked form
-triples HBM traffic and was measured 3x slower.
+src-side projection polynomial. Sampling all sources runs as one
+multi-source Pallas launch (warp_pallas) when the transposed image stack is
+present; the cross-camera drop-2-worst reduction is sort-free
+(combine_top2: two masked max passes fuse into the SSD producers).
 """
 
 from __future__ import annotations
@@ -105,7 +105,7 @@ def reproject_rays(dst_position, dst_rays, cam_src, disparity, src_hw):
     return coords, valid
 
 
-def per_src_ssd(ctx_pos_rays, cam_src, dst_img, src_img, disparity, radius=SEARCH_WINDOW_RADIUS, src_img_t=None):
+def per_src_ssd(ctx_pos_rays, cam_src, dst_img, src_img, disparity, radius=SEARCH_WINDOW_RADIUS):
     """Biased & bias-compensated patch SSD maps for one src camera.
 
     ``ctx_pos_rays`` is (dst_position, dst_rays). Returns (biased, unbiased,
@@ -116,15 +116,7 @@ def per_src_ssd(ctx_pos_rays, cam_src, dst_img, src_img, disparity, radius=SEARC
     """
     dst_position, dst_rays = ctx_pos_rays
     coords, valid = reproject_rays(dst_position, dst_rays, cam_src, disparity, src_img.shape[:2])
-    if src_img_t is not None:
-        # Pallas windowed warp sampler (warp_pallas): dense DMA + MXU
-        # contraction instead of an HBM row gather
-        coords_p, (h0, w0) = warp_pallas.pad_to_tiles(coords)
-        sampled, k_valid = warp_pallas.warp_sample_transposed(src_img_t, coords_p)
-        sampled = sampled[:h0, :w0]
-        valid &= k_valid[:h0, :w0] > 0.5
-    else:
-        sampled = sampling.bilinear_sample(src_img[..., :3], coords)
+    sampled = sampling.bilinear_sample(src_img[..., :3], coords)
     validf = valid.astype(dst_img.dtype)
     diff = jnp.where(valid[..., None], dst_img[..., :3] - sampled, 0.0)
 
@@ -169,65 +161,99 @@ def combine_ssds(biased, unbiased, valid, variance):
     return cost, confidence
 
 
-def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Cost + confidence maps for a whole disparity map (or scalar hypothesis).
+def combine_top2(biased, unbiased, valid, variance):
+    """Cross-camera drop-2-worst reduction without a sort.
 
-    Streams over src cameras with a running drop-2-worst accumulator
-    (equivalent to the sort in combine_ssds, without materializing
-    (N_src, H, W) stacks): per pixel keep the two largest biased SSDs seen so
-    far plus the running unbiased sum; at the end subtract the unbiased
-    values of the worst (count>=3), of just the worst (count==2), or nothing
-    (count==1) — exactly the keep = clip(max(count-2, 1), 1, n) rule of
-    Derp.cpp:203-225.
+    biased/unbiased/valid: (N, H, W); variance: (H, W). Per pixel keep the
+    two largest biased SSDs via two masked max passes and subtract their
+    unbiased values from the total — exactly keep = clip(max(count-2, 1),
+    1, n) of Derp.cpp:203-225 (see combine_ssds); O(N) instead of O(N log N)
+    and fuses into the SSD producers.
     """
-    n = ctx.src_imgs.shape[0]
-    h, w = ctx.dst_img.shape[:2]
-    pos_rays = (ctx.cam_dst.position, ctx.dst_rays)
+    n = biased.shape[0]
     neg = jnp.float32(-FLT_MAX)
+    b = jnp.where(valid, biased, neg)
+    u = jnp.where(valid, unbiased, 0.0)
 
-    def step(carry, xs):
-        b1, u1, b2, u2, total_u, count = carry
-        cam_src, src_img, idx, src_img_t = xs
-        biased, unbiased, valid = per_src_ssd(
-            pos_rays, cam_src, ctx.dst_img, src_img, disparity, src_img_t=src_img_t
-        )
-        valid &= idx != ctx.exclude_idx
-        b = jnp.where(valid, biased, neg)
-        u = jnp.where(valid, unbiased, 0.0)
-        is1 = b > b1
-        nb1 = jnp.where(is1, b, b1)
-        nu1 = jnp.where(is1, u, u1)
-        b_dem = jnp.where(is1, b1, b)
-        u_dem = jnp.where(is1, u1, u)
-        is2 = b_dem > b2
-        nb2 = jnp.where(is2, b_dem, b2)
-        nu2 = jnp.where(is2, u_dem, u2)
-        return (
-            nb1, nu1, nb2, nu2,
-            total_u + u,
-            count + valid.astype(jnp.int32),
-        ), None
+    i1 = jnp.argmax(b, axis=0)  # worst source
+    b1 = jnp.take_along_axis(b, i1[None], axis=0)[0]
+    u1 = jnp.take_along_axis(u, i1[None], axis=0)[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+    b_rest = jnp.where(lane == i1[None], neg, b)
+    i2 = jnp.argmax(b_rest, axis=0)  # second worst
+    u2 = jnp.take_along_axis(u, i2[None], axis=0)[0]
 
-    init = (
-        jnp.full((h, w), neg), jnp.zeros((h, w), jnp.float32),
-        jnp.full((h, w), neg), jnp.zeros((h, w), jnp.float32),
-        jnp.zeros((h, w), jnp.float32), jnp.zeros((h, w), jnp.int32),
-    )
-    xs = (ctx.src_cams, ctx.src_imgs, jnp.arange(n, dtype=jnp.int32), ctx.src_imgs_t)
-    (b1, u1, b2, u2, total_u, count), _ = jax.lax.scan(step, init, xs)
-
+    count = jnp.sum(valid, axis=0)
+    total_u = jnp.sum(u, axis=0)
     min_keep = MIN_OVERLAPPING_CAMS - 1
     keep = jnp.clip(jnp.maximum(count - 2, min_keep), 1, n)
     drop = count - keep  # 0, 1, or 2
     cost_sum = total_u - jnp.where(drop >= 1, u1, 0.0) - jnp.where(drop >= 2, u2, 0.0)
     keepf = keep.astype(jnp.float32)
-    confidence = jnp.maximum(ctx.variance, MIN_VAR)
+    confidence = jnp.maximum(variance, MIN_VAR)
     cost = cost_sum / (keepf * keepf) / confidence
 
     enough = count >= min_keep
     cost = jnp.where(enough, cost, FLT_MAX)
     confidence = jnp.where(enough, confidence, 0.0)
     return cost, confidence
+
+
+def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Cost + confidence maps for a whole disparity map (or scalar hypothesis).
+
+    Sources evaluate under vmap; with src_imgs_t present, all sources'
+    bilinear sampling runs as ONE multi-source Pallas launch
+    (warp_pallas.warp_sample_multi) and the SSDs are formed on the sampled
+    stack. The cross-camera reduction is the sort-free combine_top2.
+    """
+    n = ctx.src_imgs.shape[0]
+    pos_rays = (ctx.cam_dst.position, ctx.dst_rays)
+    h, w = ctx.dst_img.shape[:2]
+
+    if ctx.src_imgs_t is not None:
+        src_hw = (ctx.src_imgs.shape[1], ctx.src_imgs.shape[2])
+
+        def coords_one(cam_src):
+            return reproject_rays(pos_rays[0], pos_rays[1], cam_src, disparity, src_hw)
+
+        coords, valid = jax.vmap(coords_one)(ctx.src_cams)  # (N, H, W, 2/...)
+        coords_p, (h0, w0) = warp_pallas.pad_to_tiles_nhw(coords)
+        sampled, k_valid = warp_pallas.warp_sample_multi(ctx.src_imgs_t, coords_p)
+        sampled = sampled[:, :h0, :w0]
+        valid &= k_valid[:, :h0, :w0] > 0.5
+        biased, unbiased, valid = ssd_from_sampled(ctx.dst_img, sampled, valid)
+    else:
+        def one(cam_src, src_img):
+            return per_src_ssd(pos_rays, cam_src, ctx.dst_img, src_img, disparity)
+
+        biased, unbiased, valid = jax.vmap(one)(ctx.src_cams, ctx.src_imgs)
+
+    not_self = jnp.arange(n) != ctx.exclude_idx
+    valid &= not_self[:, None, None]
+    return combine_top2(biased, unbiased, valid, ctx.variance)
+
+
+def ssd_from_sampled(dst_img, sampled, valid, radius=SEARCH_WINDOW_RADIUS):
+    """Biased/unbiased patch SSD stacks from already-sampled sources.
+
+    dst_img: (H, W, 3); sampled: (N, H, W, 3); valid: (N, H, W).
+    """
+    validf = valid.astype(dst_img.dtype)
+    diff = jnp.where(valid[..., None], dst_img[None, ..., :3] - sampled, 0.0)
+    n_patch = (2 * radius + 1) ** 2
+
+    def box(x):
+        return jax.vmap(lambda a: sampling.box_sum(a, radius))(x)
+
+    cnt = box(validf)
+    cnt_safe = jnp.maximum(cnt, 1.0)
+    scale = n_patch / cnt_safe
+    d2 = jnp.sum(diff * diff, axis=-1)
+    biased = box(d2) * scale
+    mean_diff = box(diff) / cnt_safe[..., None]
+    unbiased = jnp.maximum(biased - n_patch * jnp.sum(mean_diff * mean_diff, axis=-1), 0.0)
+    return biased, unbiased, valid
 
 
 def brute_force_disparity(
