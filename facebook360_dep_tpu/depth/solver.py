@@ -280,7 +280,22 @@ def handle_mismatches(ctx: LevelContext, cfg: SolverConfig, disparity, full_disp
     full_disparity = disparity if full_disparity is None else jnp.asarray(full_disparity, jnp.float32)
     n, h, w = ctx.src_imgs.shape[:3]
     d = disparity.shape[0]
+    # every source camera's disparity must be present: indexing a short stack
+    # is out-of-bounds (the reference CHECKs rigDst == rigSrc; under
+    # shard_map pass the all-gathered stack)
+    assert full_disparity.shape[0] == n, (full_disparity.shape, n)
     frac = 0.1  # kFractionChange, Derp.cpp:594
+
+    # NaN-safe sampling stack for the Pallas path: NaNs in a window would
+    # poison the whole interpolation matmul, so sample (filled, finite-mask)
+    # channel pairs and require a fully-finite footprint
+    if ctx.src_imgs_t is not None:
+        disp_planar = jnp.stack(
+            [jnp.nan_to_num(full_disparity), jnp.isfinite(full_disparity).astype(jnp.float32)],
+            axis=1,
+        )
+    else:
+        disp_planar = None
 
     def one(args):
         dst_idx, disp = args
@@ -288,16 +303,24 @@ def handle_mismatches(ctx: LevelContext, cfg: SolverConfig, disparity, full_disp
         fov = ctx.dst_fov_masks[dst_idx]
         fg = ctx.dst_fg_masks[dst_idx]
         variance = ctx.src_variance[ctx.dst2src[dst_idx]]
+        pos, rays = cam_dst.position, ctx.dst_rays[dst_idx]
 
-        def per_src(src_idx):
-            cam_src = jax.tree.map(lambda a: a[src_idx], ctx.src_cams)
-            coords, valid = cost_ops.reproject_to_src(cam_dst, cam_src, disp, (h, w), (h, w))
-            d_src = sampling.bilinear_sample(full_disparity[src_idx], coords)
-            valid &= src_idx != ctx.dst2src[dst_idx]
-            valid &= jnp.isfinite(d_src)
-            return d_src, valid
+        def src_coords(cam_src):
+            return cost_ops.reproject_rays(pos, rays, cam_src, disp, (h, w))
 
-        d_srcs, valids = jax.vmap(per_src)(jnp.arange(n))
+        coords, valid = jax.vmap(src_coords)(ctx.src_cams)  # (N, H, W, ...)
+        valid &= jnp.arange(n)[:, None, None] != ctx.dst2src[dst_idx]
+        if disp_planar is not None:
+            coords_p, (h0, w0) = warp_pallas.pad_to_tiles_nhw(coords)
+            smp, k_valid = warp_pallas.warp_sample_planar(disp_planar, coords_p)
+            d_srcs = smp[:, :h0, :w0, 0]
+            all_finite = smp[:, :h0, :w0, 1] > 0.999
+            valids = valid & (k_valid[:, :h0, :w0] > 0.5) & all_finite & jnp.isfinite(d_srcs)
+        else:
+            d_srcs = jax.vmap(lambda c, i: sampling.bilinear_sample(full_disparity[i], c))(
+                coords, jnp.arange(n)
+            )
+            valids = valid & jnp.isfinite(d_srcs)
         lo, hi = (1 - frac) * disp, (1 + frac) * disp
         is_match = valids & (d_srcs >= lo) & (d_srcs <= hi)
         is_mismatch = valids & ~is_match

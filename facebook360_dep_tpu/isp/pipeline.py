@@ -7,8 +7,10 @@ color correct (CCM + saturation + gamma/key-boost/contrast tone curve,
 :360-415) -> sharpen. All mosaic-domain stages are per-Bayer-site gains
 expressed through channel masks; the per-pixel loops become fused image ops.
 
-Demosaic filters (CameraIsp.h:32-38): BILINEAR (mask-multiplied convolution)
-and EDGE_AWARE (gradient-directed green + chroma-difference R/B, :161-247).
+Demosaic filters (CameraIsp.h:32-38): BILINEAR (mask-multiplied
+convolution), EDGE_AWARE (directional green + homogeneity vote + chroma
+suppression, :161-247), FREQUENCY (DCT-space Butterworth filtering of the
+zero-stuffed channel planes, :129-159).
 """
 
 from __future__ import annotations
@@ -21,6 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import sampling
+from ..utils.hostmath import on_host
+
 BAYER_OFFSETS = {
     # (y, x) offsets of R, G1, G2, B within each 2x2 tile
     "RGGB": {"r": (0, 0), "g": ((0, 1), (1, 0)), "b": (1, 1)},
@@ -29,7 +34,7 @@ BAYER_OFFSETS = {
     "BGGR": {"r": (1, 1), "g": ((0, 1), (1, 0)), "b": (0, 0)},
 }
 
-DEMOSAIC_FILTERS = ("BILINEAR", "EDGE_AWARE")
+DEMOSAIC_FILTERS = ("BILINEAR", "EDGE_AWARE", "FREQUENCY")
 
 
 @dataclass
@@ -161,30 +166,9 @@ def demosaic_bilinear(raw: jnp.ndarray, pattern: str) -> jnp.ndarray:
     return jnp.stack(channels, axis=-1)
 
 
-def demosaic_edge_aware(raw: jnp.ndarray, pattern: str) -> jnp.ndarray:
-    """Gradient-directed demosaic (EDGE_AWARE, CameraIsp.h:161-247).
-
-    Green at R/B sites is interpolated along the axis with the smaller
-    luminance gradient; R/B are reconstructed by bilinear interpolation of
-    the chroma differences (R-G, B-G) added back to the full green plane —
-    the chroma-suppression idea of demosaicChromaSuppressed, branchless via
-    jnp.where so XLA fuses the whole thing.
-    """
-    h, w = raw.shape
-    rm, gm, bm = bayer_masks(pattern, h, w)
-
-    def shift(a, dy, dx):
-        return jnp.roll(a, (dy, dx), (0, 1))
-
-    # green interpolation at non-green sites, edge-directed
-    gh = 0.5 * (shift(raw, 0, -1) + shift(raw, 0, 1))
-    gv = 0.5 * (shift(raw, -1, 0) + shift(raw, 1, 0))
-    grad_h = jnp.abs(shift(raw, 0, -1) - shift(raw, 0, 1))
-    grad_v = jnp.abs(shift(raw, -1, 0) - shift(raw, 1, 0))
-    g_interp = jnp.where(grad_h <= grad_v, gh, gv)
-    green = jnp.where(gm, raw, g_interp)
-
-    # chroma differences, bilinearly spread from their native sites
+def _chroma_suppressed(raw, green, rm, bm):
+    """R/B reconstruction by spreading chroma differences over the full
+    green plane (demosaicChromaSuppressed, CameraIsp.h:250+)."""
     kernel = jnp.asarray([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]], raw.dtype)
 
     def spread(chroma, mask):
@@ -194,6 +178,101 @@ def demosaic_edge_aware(raw: jnp.ndarray, pattern: str) -> jnp.ndarray:
     red = green + spread(raw - green, rm)
     blue = green + spread(raw - green, bm)
     return jnp.stack([red, green, blue], axis=-1)
+
+
+def demosaic_edge_aware(raw: jnp.ndarray, pattern: str, homogeneity_radius: int = 4) -> jnp.ndarray:
+    """Edge-aware demosaic (EDGE_AWARE, CameraIsp.h:161-226), vectorized.
+
+    Per the reference: directional green estimates gV/gH at non-green sites
+    (neighbor average plus the co-site channel's Laplacian correction),
+    directional activity measures dV/dH, then a (2r+1)^2 homogeneity vote
+    of (dH <= dV) blends gV toward gH; R/B finish with chroma suppression.
+    The scalar double loop becomes shifts + one box sum.
+    """
+    h, w = raw.shape
+    rm, gm, bm = bayer_masks(pattern, h, w)
+
+    def shift(a, dy, dx):
+        return jnp.roll(a, (-dy, -dx), (0, 1))
+
+    up, down = shift(raw, -1, 0), shift(raw, 1, 0)
+    left, right = shift(raw, 0, -1), shift(raw, 0, 1)
+    up2, down2 = shift(raw, -2, 0), shift(raw, 2, 0)
+    left2, right2 = shift(raw, 0, -2), shift(raw, 0, 2)
+
+    # at green sites: identity green, activity from 2-step green diffs
+    gv_g = raw
+    gh_g = raw
+    dv_g = (jnp.abs(down2 - raw) + jnp.abs(raw - up2)) * 0.5
+    dh_g = (jnp.abs(right2 - raw) + jnp.abs(raw - left2)) * 0.5
+
+    # at R/B sites: neighbor-average green + own-channel Laplacian correction
+    gv_c = (up + down) * 0.5 + (2.0 * raw - up2 - down2) * 0.25
+    gh_c = (left + right) * 0.5 + (2.0 * raw - left2 - right2) * 0.25
+    dv_c = jnp.abs(up - down) * 0.5 + jnp.abs(-2.0 * raw + up2 + down2) * 0.5
+    dh_c = jnp.abs(left - right) * 0.5 + jnp.abs(-2.0 * raw + left2 + right2) * 0.5
+
+    gv = jnp.where(gm, gv_g, gv_c)
+    gh = jnp.where(gm, gh_g, gh_c)
+    dv = jnp.where(gm, dv_g, dv_c)
+    dh = jnp.where(gm, dh_g, dh_c)
+
+    # homogeneity vote over the (2r+1)^2 window: fraction preferring H
+    votes = (dh <= dv).astype(raw.dtype)
+    frac_h = sampling.box_mean(votes, homogeneity_radius)
+    green = gv + (gh - gv) * frac_h  # lerp(gV, gH, hCount/diameter^2)
+
+    return _chroma_suppressed(raw, green, rm, bm)
+
+
+def _butterworth(d, cutoff, order):
+    """|H(d)| of a Butterworth low-pass over normalized distance."""
+    return 1.0 / jnp.sqrt(1.0 + (d / cutoff) ** (2.0 * order))
+
+
+@on_host
+def demosaic_frequency(raw: jnp.ndarray, pattern: str) -> jnp.ndarray:
+    """Frequency-domain demosaic (FREQUENCY, CameraIsp.h:129-159).
+
+    Runs on the host: the DCT is unimplemented on the TPU backend, and this
+    mode is an offline alternative (the production default is EDGE_AWARE).
+
+    Green from its quincunx sites via bilinear fill, then DCT-space
+    filtering: a 4th-order Butterworth low-pass with diagonal-distance
+    sharpening on luma and a 2nd-order crossover that blends R/B toward
+    green at high frequencies (chroma alias suppression).
+    """
+    import jax.scipy.fft as jfft
+
+    h, w = raw.shape
+    rm, gm, bm = bayer_masks(pattern, h, w)
+    # zero-stuffed channel planes: green on its quincunx (half density, DC
+    # halved) and R/B on quarter-density grids — the 2x/4x gains below
+    # restore amplitude while the low-pass removes the stuffing's
+    # modulation spectra (the reference's formulation)
+    r0 = raw * rm
+    g0 = raw * gm
+    b0 = raw * bm
+
+    ys = jnp.linspace(0.0, 1.0, h)[:, None]
+    xs = jnp.linspace(0.0, 1.0, w)[None, :]
+    d = (xs + ys) * 1.2  # kDScale diagonal distance
+    sharpen = d / 2.5 + 1.0
+    g_gain = 2.0 * _butterworth(d, 2.0, 4.0) * sharpen
+    rb_gain = 4.0 * _butterworth(d, 2.0, 4.0)
+    alpha = _butterworth(d * 2.0 * 3.0, 2.0, 2.0)  # crossover
+
+    def dct2(a):
+        return jfft.dctn(a, type=2, norm="ortho")
+
+    def idct2(a):
+        return jfft.idctn(a, type=2, norm="ortho")
+
+    gd = dct2(g0) * g_gain
+    g_f = idct2(gd)
+    r_f = idct2(gd * (1 - alpha) + dct2(r0) * rb_gain * alpha)
+    b_f = idct2(gd * (1 - alpha) + dct2(b0) * rb_gain * alpha)
+    return jnp.clip(jnp.stack([r_f, g_f, b_f], axis=-1), 0.0, 1.0)
 
 
 def remove_stuck_pixels(
@@ -264,8 +343,6 @@ def iir_low_pass(img: jnp.ndarray, support: float) -> jnp.ndarray:
     Gaussian-like box cascade sized from the support."""
     h, w = img.shape[:2]
     radius = max(int(round(support * max(h, w))), 1)
-    from ..ops import sampling
-
     out = img
     for _ in range(3):  # box^3 ~ Gaussian
         out = sampling.box_mean(out, radius)
@@ -320,8 +397,11 @@ def process(raw: jnp.ndarray, cfg: IspConfig) -> jnp.ndarray:
         cfg.stuck_pixel_threshold, cfg.stuck_pixel_darkness_threshold,
     )
 
-    if cfg.demosaic_filter.upper() == "EDGE_AWARE":
+    filt = cfg.demosaic_filter.upper()
+    if filt == "EDGE_AWARE":
         rgb = demosaic_edge_aware(raw, cfg.bayer_pattern)
+    elif filt == "FREQUENCY":
+        rgb = demosaic_frequency(raw, cfg.bayer_pattern)
     else:
         rgb = demosaic_bilinear(raw, cfg.bayer_pattern)
 

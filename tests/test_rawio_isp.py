@@ -172,3 +172,30 @@ def test_raw_to_rgb_cli_raw_and_dng(tmp_path):
     ])
     back, _ = rawio.read_dng(str(tmp_path / "f.dng"))
     assert np.abs(back - raw).max() <= 2.0 / 65535
+
+
+def test_frequency_demosaic_flat_field():
+    rgb = np.tile(np.asarray([0.3, 0.5, 0.7], np.float32), (32, 32, 1))
+    raw = isp.mosaic(rgb, "RGGB")
+    out = np.asarray(isp.demosaic_frequency(raw, "RGGB"))
+    inner = out[8:-8, 8:-8]
+    # frequency-domain filtering is not exact on flat fields (Butterworth
+    # rolloff at DC ~1), but must stay close and channel-ordered
+    assert np.abs(inner.mean(axis=(0, 1)) - [0.3, 0.5, 0.7]).max() < 0.08
+    assert np.isfinite(out).all()
+
+
+def test_edge_aware_full_algorithm_flat_and_edge():
+    rgb = np.tile(np.asarray([0.25, 0.5, 0.75], np.float32), (24, 24, 1))
+    raw = isp.mosaic(rgb, "GBRG")
+    out = np.asarray(isp.demosaic_edge_aware(raw, "GBRG"))
+    inner = out[5:-5, 5:-5]
+    assert np.abs(inner - rgb[5:-5, 5:-5]).max() < 1e-3
+
+    # vertical edge: green reconstruction should stay monotone across it
+    rgb2 = np.zeros((32, 32, 3), np.float32)
+    rgb2[:, :16] = 0.2
+    rgb2[:, 16:] = 0.8
+    out2 = np.asarray(isp.demosaic_edge_aware(isp.mosaic(rgb2, "RGGB"), "RGGB"))
+    band = out2[10:-10, 10:-10, 1]
+    assert band.min() > 0.1 and band.max() < 0.9
