@@ -220,9 +220,9 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
         coords, valid = jax.vmap(coords_one)(ctx.src_cams)  # (N, H, W, 2/...)
         coords_p, (h0, w0) = warp_pallas.pad_to_tiles_nhw(coords)
         sampled, k_valid = warp_pallas.warp_sample_multi(ctx.src_imgs_t, coords_p)
-        sampled = sampled[:, :h0, :w0]
+        sampled = sampled[:, :, :h0, :w0]  # (N, C, H, W) channel-planar
         valid &= k_valid[:, :h0, :w0] > 0.5
-        biased, unbiased, valid = ssd_from_sampled(ctx.dst_img, sampled, valid)
+        biased, unbiased, valid = ssd_planar(ctx.dst_img, sampled, valid)
     else:
         def one(cam_src, src_img):
             return per_src_ssd(pos_rays, cam_src, ctx.dst_img, src_img, disparity)
@@ -234,25 +234,30 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
     return combine_top2(biased, unbiased, valid, ctx.variance)
 
 
-def ssd_from_sampled(dst_img, sampled, valid, radius=SEARCH_WINDOW_RADIUS):
-    """Biased/unbiased patch SSD stacks from already-sampled sources.
+def ssd_planar(dst_img, sampled_planar, valid, radius=SEARCH_WINDOW_RADIUS):
+    """Biased/unbiased patch SSD stacks from channel-planar samples.
 
-    dst_img: (H, W, 3); sampled: (N, H, W, 3); valid: (N, H, W).
+    dst_img: (H, W, 3); sampled_planar: (N, C, H, W); valid: (N, H, W).
+    Channel-planar throughout: a trailing C=3 axis would occupy the 128-wide
+    lane dimension of every TPU tile (97% padding waste).
     """
-    validf = valid.astype(dst_img.dtype)
-    diff = jnp.where(valid[..., None], dst_img[None, ..., :3] - sampled, 0.0)
     n_patch = (2 * radius + 1) ** 2
+    dst_planar = jnp.moveaxis(dst_img[..., :3], -1, 0)  # (C, H, W)
+    validf = valid.astype(dst_img.dtype)
+    diff = jnp.where(valid[:, None], dst_planar[None] - sampled_planar, 0.0)  # (N, C, H, W)
 
-    def box(x):
-        return jax.vmap(lambda a: sampling.box_sum(a, radius))(x)
+    def box2(x):  # box over the trailing (H, W) of any leading batch dims
+        flat = x.reshape((-1,) + x.shape[-2:])
+        out = jax.vmap(lambda a: sampling.box_sum(a, radius))(flat)
+        return out.reshape(x.shape)
 
-    cnt = box(validf)
+    cnt = box2(validf)
     cnt_safe = jnp.maximum(cnt, 1.0)
     scale = n_patch / cnt_safe
-    d2 = jnp.sum(diff * diff, axis=-1)
-    biased = box(d2) * scale
-    mean_diff = box(diff) / cnt_safe[..., None]
-    unbiased = jnp.maximum(biased - n_patch * jnp.sum(mean_diff * mean_diff, axis=-1), 0.0)
+    d2 = jnp.sum(diff * diff, axis=1)  # (N, H, W)
+    biased = box2(d2) * scale
+    mean_diff = box2(diff) / cnt_safe[:, None]
+    unbiased = jnp.maximum(biased - n_patch * jnp.sum(mean_diff * mean_diff, axis=1), 0.0)
     return biased, unbiased, valid
 
 

@@ -73,7 +73,11 @@ def _pad_reflect101(img: jnp.ndarray, radius: int) -> jnp.ndarray:
 
 
 def box_sum(img: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """(2r+1)^2 windowed sum with reflect-101 borders; separable."""
+    """(2r+1)^2 windowed sum with reflect-101 borders; separable.
+
+    Small radii unroll to shifted adds (fuses into neighbors on TPU —
+    reduce_window lowers an order of magnitude slower for 3x3 windows).
+    """
     if radius == 0:
         return img
     squeeze = img.ndim == 2
@@ -81,10 +85,23 @@ def box_sum(img: jnp.ndarray, radius: int) -> jnp.ndarray:
         img = img[..., None]
     padded = _pad_reflect101(img, radius)
     k = 2 * radius + 1
-    out = jax.lax.reduce_window(
-        padded, 0.0, jax.lax.add, (k, 1, 1), (1, 1, 1), "VALID"
-    )
-    out = jax.lax.reduce_window(out, 0.0, jax.lax.add, (1, k, 1), (1, 1, 1), "VALID")
+    if radius <= 3:
+        h, w = img.shape[:2]
+        out = padded[:h + 2 * radius]
+        acc = None
+        for dy in range(k):
+            term = padded[dy : dy + h]
+            acc = term if acc is None else acc + term
+        out2 = None
+        for dx in range(k):
+            term = acc[:, dx : dx + w]
+            out2 = term if out2 is None else out2 + term
+        out = out2
+    else:
+        out = jax.lax.reduce_window(
+            padded, 0.0, jax.lax.add, (k, 1, 1), (1, 1, 1), "VALID"
+        )
+        out = jax.lax.reduce_window(out, 0.0, jax.lax.add, (1, k, 1), (1, 1, 1), "VALID")
     return out[..., 0] if squeeze else out
 
 

@@ -135,9 +135,10 @@ def warp_sample_planar(src_planar: jnp.ndarray, coords: jnp.ndarray, interpret: 
         (see ``planar_for_sampling``).
     coords: (N, H, W, 2) as (x, y) pixel-center coords, one warp field per
         source.
-    Returns (sampled (N, H, W, C) float32, valid (N, H, W) float32 {0,1}).
-    Out-of-window samples (magnification beyond (WINDOW_W-128)/TILE_W in x
-    or (WINDOW_H-8)/TILE_H in y) have valid=0 and sampled=0.
+    Returns (sampled (N, C, H, W) float32 — channel-planar, see NOTE at the
+    return — and valid (N, H, W) float32 {0,1}). Out-of-window samples
+    (magnification beyond (WINDOW_W-128)/TILE_W in x or (WINDOW_H-8)/TILE_H
+    in y) have valid=0 and sampled=0.
     """
     if interpret is None:
         interpret = _default_interpret()
@@ -178,8 +179,9 @@ def warp_sample_planar(src_planar: jnp.ndarray, coords: jnp.ndarray, interpret: 
         ],
         interpret=interpret,
     )(xs, ys, src_planar)
-    sampled = jnp.moveaxis(out, 1, -1)  # (N, H, W, C)
-    return sampled, valid
+    # NOTE: output stays channel-planar (N, C, H, W) — a trailing C=3 axis
+    # would land on the 128-wide lane dimension and waste 97% of every tile
+    return out, valid
 
 
 def planar_for_sampling(imgs: jnp.ndarray) -> jnp.ndarray:
@@ -220,10 +222,12 @@ def warp_sample_multi(src_imgs_t: jnp.ndarray, coords: jnp.ndarray, interpret: b
 
 def warp_sample(src_img: jnp.ndarray, coords: jnp.ndarray, interpret: bool | None = None):
     """Single-source convenience wrapper over arbitrary (H, W): accepts an
-    (H, W, C) image + (H, W, 2) coords, handles layout and tile padding."""
+    (H, W, C) image + (H, W, 2) coords, handles layout and tile padding.
+    Returns interleaved (H, W, C) samples (convenience shape; the hot path
+    uses warp_sample_planar's channel-planar output directly)."""
     if src_img.ndim == 2:
         src_img = src_img[..., None]
     src_planar = planar_for_sampling(src_img[None])
     coords_p, (h, w) = pad_to_tiles(coords)
     out, valid = warp_sample_planar(src_planar, coords_p[None], interpret=interpret)
-    return out[0, :h, :w], valid[0, :h, :w]
+    return jnp.moveaxis(out[0], 0, -1)[:h, :w], valid[0, :h, :w]
