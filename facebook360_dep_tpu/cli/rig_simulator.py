@@ -3,7 +3,9 @@
 Raytraces a procedurally-textured scene into every rig camera and writes the
 project tree (color pyramid + true disparity) so the full pipeline can be
 validated end-to-end against known depth (rig/RigSimulator.cpp:37-64 — the
-reference raytraces a textured box world; we use textured sphere shells).
+reference raytraces a textured box world; scenes: textured sphere shell or
+box room). Optional equirect ground-truth outputs mirror the reference's
+true 1/depth equirects.
 """
 
 from __future__ import annotations
@@ -28,6 +30,10 @@ def main(argv=None):
     p.add_argument("--first", default="000000")
     p.add_argument("--last", default="000000")
     p.add_argument("--radius", type=float, default=5.0, help="scene sphere radius (m)")
+    p.add_argument("--scene", default="sphere", choices=["sphere", "box"])
+    p.add_argument("--box_half_extents", default="6,6,3", help="box room half extents (m)")
+    p.add_argument("--eqr_width", type=int, default=0,
+                   help="if > 0, also write true color/disparity equirects this wide")
     p.add_argument("--num_cameras", type=int, default=8, help="built-in rig size")
     p.add_argument("--resolution", type=int, default=512, help="built-in rig width")
     p.add_argument("--levels", type=int, default=4, help="pyramid levels to emit")
@@ -51,9 +57,17 @@ def main(argv=None):
         sizes.append((lw, lh))
         lw, lh = max(lw * 2 // 3, 4), max(lh * 2 // 3, 4)
 
+    half_extents = tuple(float(v) for v in args.box_half_extents.split(","))
     for f in range(int(args.first), int(args.last) + 1):
         frame = io.frame_name(f)
-        colors, gt = synthetic.render_sphere_scene(rig, (w, h), radius=args.radius, seed=args.seed + f)
+        if args.scene == "box":
+            colors, gt = synthetic.render_box_scene(
+                rig, (w, h), half_extents=half_extents, seed=args.seed + f
+            )
+        else:
+            colors, gt = synthetic.render_sphere_scene(
+                rig, (w, h), radius=args.radius, seed=args.seed + f
+            )
         for level, (sw, sh) in enumerate(sizes):
             for i, cam_id in enumerate(rig.ids):
                 cdir = imagetypes.image_dir(args.dest, "color_levels", level, cam_id)
@@ -65,6 +79,15 @@ def main(argv=None):
             tdir = os.path.join(args.dest, "truth", cam_id)
             os.makedirs(tdir, exist_ok=True)
             io.write_disparity(os.path.join(tdir, frame + ".pfm"), gt[i])
+        if args.eqr_width > 0:
+            ew = args.eqr_width
+            ecolor, edisp = synthetic.ground_truth_equirect(
+                rig, ew, ew // 2, args.scene, args.radius, half_extents, args.seed + f
+            )
+            edir = os.path.join(args.dest, "truth_eqr")
+            os.makedirs(edir, exist_ok=True)
+            io.write_color(os.path.join(edir, frame + "_color.png"), ecolor, bit_depth=16)
+            io.write_disparity(os.path.join(edir, frame + "_disparity.pfm"), edisp)
         log.info("rendered frame %s (%d cameras, %d levels)", frame, len(rig.ids), args.levels)
 
 

@@ -109,3 +109,69 @@ def make_test_rig(
         cams.append(c)
         ids.append(f"cam{i}")
     return cam.Rig(cameras=cam.stack_cameras(cams), ids=tuple(ids), groups=("",) * num_cameras)
+
+
+def ray_box_depth(origins, dirs, half_extents=(6.0, 6.0, 3.0), center=(0.0, 0.0, 0.0)):
+    """Distance along each ray to the inside of an axis-aligned box
+    (rays start inside; the reference's textured box/ceiling world,
+    rig/RigSimulator.cpp:37-64).
+
+    origins/dirs: (..., 3); returns (...,) t > 0.
+    """
+    he = jnp.asarray(half_extents, dirs.dtype)
+    oc = origins - jnp.asarray(center, dirs.dtype)
+    # exit distance per axis: the positive root of |oc + t d| = he
+    safe_d = jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
+    t_pos = (he - oc) / safe_d
+    t_neg = (-he - oc) / safe_d
+    t_exit = jnp.maximum(t_pos, t_neg)  # per-axis exit
+    return jnp.min(t_exit, axis=-1)
+
+
+def render_box_scene(rig: cam.Rig, size_wh, half_extents=(6.0, 6.0, 3.0), as_numpy: bool = True,
+                     center=(0.0, 0.0, 0.0), seed: int = 7):
+    """Render every rig camera against a procedurally-textured box room
+    (RigSimulator's box/ceiling world). Returns (colors, gt_disparity)."""
+    w, h = int(size_wh[0]), int(size_wh[1])
+    nrig = cam.normalize_rig(rig)
+    cams = jax.tree.map(
+        lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+        if np.asarray(a).dtype.kind == "f"
+        else jnp.asarray(np.asarray(a)),
+        nrig.cameras,
+    )
+    grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
+
+    def one(c):
+        d = cam.ray_dir(c, grid)
+        t = ray_box_depth(c.position, d, half_extents, center)
+        hit = c.position + d * t[..., None]
+        # texture by position on the box surface (normalized direction from
+        # the center gives seams at edges only)
+        tex_dir = hit - jnp.asarray(center, jnp.float32)
+        tex_dir = tex_dir / jnp.maximum(jnp.linalg.norm(tex_dir, axis=-1, keepdims=True), 1e-9)
+        color = procedural_texture(tex_dir, seed, octaves=7)
+        return color, 1.0 / t
+
+    colors, disparity = jax.jit(jax.vmap(one))(cams)
+    if as_numpy:
+        return np.asarray(colors), np.asarray(disparity)
+    return colors, disparity
+
+
+def ground_truth_equirect(rig: cam.Rig, width: int, height: int, scene: str = "sphere",
+                          radius: float = 5.0, half_extents=(6.0, 6.0, 3.0), seed: int = 7):
+    """True (color, disparity) equirects from the rig center — the
+    reference RigSimulator's equirect truth outputs."""
+    from . import dibr
+
+    dirs = dibr.equirect_dirs(width, height)
+    origin = jnp.zeros((3,), jnp.float32)
+    if scene == "box":
+        t = ray_box_depth(origin, dirs, half_extents)
+    else:
+        t = ray_sphere_depth(origin, dirs, (0.0, 0.0, 0.0), radius)
+    hit = dirs * t[..., None]
+    tex = hit / jnp.maximum(jnp.linalg.norm(hit, axis=-1, keepdims=True), 1e-9)
+    color = procedural_texture(tex, seed, octaves=7 if scene == "box" else 6)
+    return np.asarray(color), np.asarray(1.0 / t)

@@ -89,3 +89,30 @@ def test_foreground_mask():
     assert not mask[2, 2]
     # roughly the painted square, allowing morphology slack
     assert 60 <= mask.sum() <= 200
+
+
+def test_box_scene_and_equirect_truth(tmp_path):
+    import os
+
+    import numpy as np
+
+    from facebook360_dep_tpu.cli import rig_simulator
+    from facebook360_dep_tpu.core import io
+    from facebook360_dep_tpu.render import synthetic
+
+    rig = synthetic.make_test_rig(num_cameras=3, resolution=(48, 36), ring_radius=0.1)
+    colors, gt = synthetic.render_box_scene(rig, (48, 36), half_extents=(4, 4, 2))
+    assert colors.shape == (3, 36, 48, 3) and np.isfinite(gt).all()
+    # box depths along axes reach the faces
+    assert gt.min() > 1.0 / 7.0  # no hit farther than the box diagonal
+    ec, ed = synthetic.ground_truth_equirect(rig, 64, 32, scene="box", half_extents=(4, 4, 2))
+    assert ec.shape == (32, 64, 3) and np.isfinite(ed).all()
+
+    rig_simulator.main([
+        "--dest", str(tmp_path), "--num_cameras", "3", "--resolution", "48",
+        "--levels", "2", "--scene", "box", "--box_half_extents", "4,4,2",
+        "--eqr_width", "64",
+    ])
+    assert os.path.exists(tmp_path / "truth_eqr" / "000000_disparity.pfm")
+    d = io.read_disparity(str(tmp_path / "truth" / "cam0" / "000000.pfm"))
+    assert np.isfinite(d).all()
