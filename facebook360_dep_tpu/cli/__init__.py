@@ -7,3 +7,15 @@ import faulthandler as _faulthandler
 
 if not _faulthandler.is_enabled():
     _faulthandler.enable()
+
+# Platform override for CLI processes: the environment may force-set
+# JAX_PLATFORMS (e.g. to a tunneled accelerator), and farm worker
+# subprocesses must be steerable to the CPU backend for tests/host-only
+# stages. Honored before any CLI touches jax.
+import os as _os
+
+_plat = _os.environ.get("DEP_JAX_PLATFORM")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)

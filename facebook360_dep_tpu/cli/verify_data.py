@@ -100,8 +100,11 @@ def verify_project(root, rig_path=None, check_sizes=True) -> tuple[list, dict]:
     if len(set(rig.ids)) != len(rig.ids):
         problems.append("rig has duplicate camera ids")
 
-    # full-size color
+    # full-size color; projects may carry only the level pyramid (e.g. the
+    # simulator), in which case level_0 is the frame-range source of truth
     frames = check_camera_tree(root, "color", rig, problems)
+    if frames is None:
+        frames = check_camera_tree(root, "color_levels", rig, problems, level=0)
     info["color_frames"] = frames or []
     if frames and check_sizes:
         cam_id = rig.ids[0]
@@ -124,13 +127,20 @@ def verify_project(root, rig_path=None, check_sizes=True) -> tuple[list, dict]:
             int(d.split("_")[1]) for d in os.listdir(levels_base) if d.startswith("level_")
         )
         info["color_levels"] = level_dirs
+        # only hold levels to the standard pyramid schedule when level_0
+        # actually starts it (custom pyramids are legitimate)
+        d0 = imagetypes.image_dir(root, "color_levels", 0, rig.ids[0])
+        probe0 = io.first_image_in(d0) if os.path.isdir(d0) else None
+        standard = False
+        if probe0:
+            standard = io.read_color(os.path.join(d0, probe0)).shape[1] == imagetypes.PYRAMID_WIDTHS[0]
         for lvl in level_dirs:
             lvl_frames = check_camera_tree(root, "color_levels", rig, problems, level=lvl)
             if lvl_frames and frames and set(lvl_frames) != set(frames):
                 problems.append(f"color_levels/level_{lvl}: frames differ from full-size color")
             d = imagetypes.image_dir(root, "color_levels", lvl, rig.ids[0])
             probe = io.first_image_in(d)
-            if probe and lvl < len(imagetypes.PYRAMID_WIDTHS):
+            if standard and probe and lvl < len(imagetypes.PYRAMID_WIDTHS):
                 img = io.read_color(os.path.join(d, probe))
                 expect = imagetypes.PYRAMID_WIDTHS[lvl]
                 if img.shape[1] != expect:

@@ -5,6 +5,11 @@ NOTE: this environment force-sets jax_platforms to "axon,cpu" (TPU tunnel)
 regardless of JAX_PLATFORMS, so we override the config directly.
 """
 
+import os
+
+# farm-worker subprocesses spawned by the CLIs must also stay on CPU
+os.environ["DEP_JAX_PLATFORM"] = "cpu"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
