@@ -110,3 +110,102 @@ def process_level_sharded(ctx: solver.LevelContext, cfg: solver.SolverConfig, me
     )
     args = jax.device_put(args, shardings)
     return jax.jit(run)(*args)
+
+
+def frame_camera_mesh(devices=None, frame_axis: int = 2) -> Mesh:
+    """2D mesh: data-parallel frames x model-parallel cameras.
+
+    The reference farm's frame-chunk data parallelism (pipeline.py:173-248)
+    becomes the 'frame' mesh axis (no collectives); the camera axis carries
+    the mismatch-handling all-gather over ICI.
+    """
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    assert n % frame_axis == 0, (n, frame_axis)
+    grid = np.asarray(devices).reshape(frame_axis, n // frame_axis)
+    return Mesh(grid, ("frame", "cam"))
+
+
+def process_frames_sharded(
+    base_ctx: solver.LevelContext,
+    frame_imgs,  # (F, N, H, W, 3) color stacks, one per frame
+    cfg: solver.SolverConfig,
+    mesh: Mesh,
+    init_disparity=None,  # (F, D, H, W) or None
+    key=None,
+):
+    """Multi-frame, multi-camera sharded level solve on a ('frame', 'cam')
+    mesh. Frames are pure data parallelism; cameras shard the per-frame
+    solve with the all-gather exchange of process_level_sharded.
+
+    ``base_ctx`` supplies the cameras/masks; per-frame image-dependent state
+    (variance, planar sampling stack) is built on device.
+    """
+    from ..ops import sampling, warp_pallas
+
+    frame_imgs = jnp.asarray(frame_imgs, jnp.float32)
+    f, n, h, w = frame_imgs.shape[:4]
+    d = int(np.asarray(base_ctx.dst2src).shape[0])
+    f_dev = mesh.shape["frame"]
+    c_dev = mesh.shape["cam"]
+    assert f % f_dev == 0, f"{f} frames not divisible by {f_dev}"
+    assert d % c_dev == 0, f"{d} dst cameras not divisible by {c_dev}"
+    if key is None:
+        key = jax.random.PRNGKey(cfg.level)
+
+    has_init = init_disparity is not None
+    if not has_init:
+        init_disparity = jnp.zeros((f, d, h, w), jnp.float32)
+    use_pallas = base_ctx.src_imgs_t is not None
+
+    ctx_specs = _replicated_specs(base_ctx)
+    in_specs = (ctx_specs, P("frame"), P("frame", "cam"), P())
+    out_spec = {k: P("frame", "cam") for k in ("disparity", "cost", "confidence", "mismatches")}
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_spec, check_vma=False)
+    def run(local_ctx, local_imgs, local_init, key):
+        coarsest = cfg.level == cfg.num_levels - 1
+
+        def one_frame(args):
+            imgs, init, fkey = args
+            ctx = local_ctx._replace(
+                src_imgs=imgs,
+                src_variance=jax.vmap(sampling.rgb_variance)(imgs),
+                src_imgs_t=(
+                    warp_pallas.planar_for_sampling(imgs[..., :3]).astype(jnp.bfloat16)
+                    if use_pallas
+                    else None
+                ),
+            )
+            d_local = ctx.dst_fov_masks.shape[0]
+            if coarsest or not has_init:
+                disp, costs, conf = solver.brute_force_all(ctx, cfg)
+            else:
+                disp = jnp.asarray(init, jnp.float32)
+                costs = jnp.full((d_local, h, w), jnp.inf, jnp.float32)
+                conf = jnp.zeros((d_local, h, w), jnp.float32)
+            mismatch_mask = jnp.zeros((d_local, h, w), bool)
+            if not coarsest:
+                disp, costs, conf = solver.random_proposals(ctx, cfg, disp, costs, conf, fkey)
+                disp, costs, conf = solver.ping_pong(ctx, cfg, disp, costs, conf)
+                if 0 <= cfg.level <= cfg.mismatches_start_level:
+                    full = jax.lax.all_gather(disp, "cam").reshape(-1, h, w)
+                    disp, mismatch_mask = solver.handle_mismatches(ctx, cfg, disp, full)
+            if cfg.do_bilateral_filter:
+                disp = solver.spatial_bilateral(ctx, cfg, disp)
+            if cfg.do_median_filter:
+                disp = solver.median_filter(ctx, cfg, disp)
+            disp = solver.mask_fov(ctx, disp)
+            return {"disparity": disp, "cost": costs, "confidence": conf,
+                    "mismatches": mismatch_mask}
+
+        f_local = local_imgs.shape[0]
+        fkeys = jax.random.split(jax.random.fold_in(key, jax.lax.axis_index("frame")), f_local)
+        return jax.lax.map(one_frame, (local_imgs, local_init, fkeys))
+
+    args = (base_ctx, frame_imgs, init_disparity, key)
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), in_specs, is_leaf=lambda x: isinstance(x, P)
+    )
+    args = jax.device_put(args, shardings)
+    return jax.jit(run)(*args)

@@ -46,3 +46,42 @@ def test_entry_compiles():
     compiled = jax.jit(fn).lower(*args).compile()
     out = compiled(*args)
     assert np.asarray(out).shape == args[1].shape
+
+
+def test_frame_camera_mesh_2d():
+    """2D data-parallel frames x model-parallel cameras mesh (2 x 4)."""
+    import jax
+    import numpy as np
+
+    from facebook360_dep_tpu.core import camera as cam
+    from facebook360_dep_tpu.depth import pipeline, solver
+    from facebook360_dep_tpu.parallel import sharding
+    from facebook360_dep_tpu.render import synthetic
+
+    size = (32, 24)
+    rig = synthetic.make_test_rig(num_cameras=4, resolution=size, ring_radius=0.1)
+    nrig = cam.normalize_rig(rig)
+    frames = []
+    gts = []
+    for f in range(2):
+        colors, gt = synthetic.render_sphere_scene(rig, size, radius=5.0, seed=20 + f)
+        frames.append(colors)
+        gts.append(gt)
+    frame_imgs = np.stack(frames)  # (2, 4, H, W, 3)
+    init = np.stack(gts).astype(np.float32)
+
+    fov = pipeline.generate_fov_masks(nrig, (size[1], size[0]))
+    base_ctx = solver.make_level_context(nrig, nrig, frames[0], fov)
+    mesh = sharding.frame_camera_mesh(jax.devices()[:8], frame_axis=2)
+    cfg = solver.SolverConfig(
+        min_depth=1.0, max_depth=100.0, level=0, num_levels=2,
+        num_random_proposals=1, ping_pong_iterations=1, mismatches_start_level=1,
+    )
+    out = sharding.process_frames_sharded(base_ctx, frame_imgs, cfg, mesh, init_disparity=init)
+    disp = np.asarray(out["disparity"])
+    assert disp.shape == (2, 4, size[1], size[0])
+    assert np.isfinite(disp).any()
+    # per-frame results differ (different scenes) but stay near their inits
+    v = np.isfinite(disp) & np.isfinite(init)
+    rel = np.abs(disp[v] - init[v]) / init[v]
+    assert np.median(rel) < 0.2
