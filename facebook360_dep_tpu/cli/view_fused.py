@@ -37,9 +37,13 @@ def decode_camera(fused_dir, catalog, frame, cam_id, camera, num_disks, color_wh
     focal = float(np.asarray(camera.focal)[0])
     disparity = z / focal  # z = focal * disparity
 
-    raw_c = fusion.read_fused_entry(fused_dir, catalog, frame, cam_id, ".bc7", num_disks)
-    rgba = native.decompress_bc7(np.frombuffer(raw_c, np.uint8), w, h)
-    gamma = 1.8 / 2.2  # inverse of ConvertToBinary's default gamma correction
+    entry = catalog["frames"][frame][cam_id]
+    if ".bc7" in entry:
+        raw_c = fusion.read_fused_entry(fused_dir, catalog, frame, cam_id, ".bc7", num_disks)
+        rgba = native.decompress_bc7(np.frombuffer(raw_c, np.uint8), w, h)
+    else:  # uncompressed RGBA subframes (ConvertToBinary --output_formats rgba)
+        raw_c = fusion.read_fused_entry(fused_dir, catalog, frame, cam_id, ".rgba", num_disks)
+        rgba = np.frombuffer(raw_c, np.uint8).reshape(h, w, 4)
     color = np.power(rgba[..., :3].astype(np.float32) / 255.0, 1.0 / (2.2 / 1.8))
     return color, disparity
 
@@ -70,12 +74,16 @@ def main(argv=None):
 
     for frame in frames:
         colors, disps = [], []
-        # color resolution from the bc7 payload size: w*h bytes, w/h ratio from rig
+        # color resolution from the payload size (bc7: 1 byte/px, rgba: 4)
         res = np.asarray(rig.cameras.resolution)[0]
-        nbytes = catalog["frames"][frame][rig.ids[0]][".bc7"]["size"]
-        scale = np.sqrt(nbytes / (res[0] * res[1]))
+        entry0 = catalog["frames"][frame][rig.ids[0]]
+        if ".bc7" in entry0:
+            npix = entry0[".bc7"]["size"]
+        else:
+            npix = entry0[".rgba"]["size"] / 4.0
+        scale = np.sqrt(npix / (res[0] * res[1]))
         w = int(round(res[0] * scale)) // 4 * 4
-        h = int(round(nbytes / w)) // 4 * 4
+        h = int(round(npix / w)) // 4 * 4
         for i, cam_id in enumerate(rig.ids):
             color, disp = decode_camera(
                 fused_dir, catalog, frame, cam_id, rig.camera(i), args.num_disks, (w, h)
