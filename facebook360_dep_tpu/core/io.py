@@ -61,9 +61,9 @@ def write_disparity(path, disparity: np.ndarray) -> None:
     if path.endswith(".pfm"):
         write_pfm(path, disparity)
     elif path.endswith(".exr"):
-        assert _HAS_CV2, "EXR IO requires OpenCV"
-        ok = cv2.imwrite(path, disparity)
-        assert ok, f"failed to write {path}"
+        from . import exr
+
+        exr.write_exr(path, disparity)
     elif path.endswith(".png"):
         d = np.nan_to_num(disparity, nan=0.0)
         d16 = np.clip(d, 0.0, 1.0) * np.float32(65535.0)
@@ -76,6 +76,11 @@ def read_disparity(path) -> np.ndarray:
     path = str(path)
     if path.endswith(".pfm"):
         return read_pfm(path)
+    if path.endswith(".exr"):
+        from . import exr
+
+        img = exr.read_exr(path)
+        return img[..., 0] if img.ndim == 3 else img
     assert _HAS_CV2, "non-PFM disparity IO requires OpenCV"
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     assert img is not None, f"cannot load {path}"

@@ -212,16 +212,15 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
     h, w = ctx.dst_img.shape[:2]
 
     if ctx.src_imgs_t is not None:
-        src_hw = (ctx.src_imgs.shape[1], ctx.src_imgs.shape[2])
-
-        def coords_one(cam_src):
-            return reproject_rays(pos_rays[0], pos_rays[1], cam_src, disparity, src_hw)
-
-        coords, valid = jax.vmap(coords_one)(ctx.src_cams)  # (N, H, W, 2/...)
-        coords_p, (h0, w0) = warp_pallas.pad_to_tiles_nhw(coords)
-        sampled, k_valid = warp_pallas.warp_sample_multi(ctx.src_imgs_t, coords_p)
-        sampled = sampled[:, :, :h0, :w0]  # (N, C, H, W) channel-planar
-        valid &= k_valid[:, :h0, :w0] > 0.5
+        # fused project+sample kernel: the warp fields never touch HBM
+        # (materializing them made candidate evaluation HBM-bound)
+        disparity_map = jnp.broadcast_to(jnp.asarray(disparity, jnp.float32), (h, w))
+        rays_planar = jnp.moveaxis(ctx.dst_rays, -1, 0)  # (3, H, W)
+        params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
+        sampled, k_valid = warp_pallas.project_sample_planar(
+            ctx.src_imgs_t, params, ctx.cam_dst.position, disparity_map, rays_planar
+        )
+        valid = k_valid > 0.5
         biased, unbiased, valid = ssd_planar(ctx.dst_img, sampled, valid)
     else:
         def one(cam_src, src_img):

@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -231,3 +232,278 @@ def warp_sample(src_img: jnp.ndarray, coords: jnp.ndarray, interpret: bool | Non
     coords_p, (h, w) = pad_to_tiles(coords)
     out, valid = warp_sample_planar(src_planar, coords_p[None], interpret=interpret)
     return jnp.moveaxis(out[0], 0, -1)[:h, :w], valid[0, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Kernel v2: fused project + sample
+#
+# An ablation on v5e showed the per-source warp-field computation dominated
+# the cost evaluation when staged through HBM: materializing (N, H, W, 2)
+# coords + validity per candidate made ping-pong HBM-bound (~95% of its
+# time). v2 computes the camera projection per tile inside the kernel —
+# world point, rotation, the four projection models, polynomial distortion,
+# FOV/sensor validity — so warp fields never touch HBM. atan/atan2 are not
+# implemented by the Mosaic lowering; a Cephes-style polynomial provides
+# them to ~1e-7.
+# ---------------------------------------------------------------------------
+
+# packed per-source camera parameters (see pack_camera_params)
+PARAM_POS = 0        # 3: position
+PARAM_ROT = 3        # 9: rotation rows (right, up, backward)
+PARAM_PRINCIPAL = 12 # 2
+PARAM_FOCAL = 14     # 2
+PARAM_DIST = 16      # 3: distortion
+PARAM_DIST_MAX = 19  # 1
+PARAM_COS_FOV = 20   # 1
+PARAM_TYPE = 21      # 1: type code (0 FTHETA, 1 RECTILINEAR, 2 EQUISOLID, 3 ORTHOGRAPHIC)
+PARAM_RES = 22       # 2: resolution (normalized rigs: 1, 1)
+PARAM_SIZE = 24
+
+
+def pack_camera_params(cams) -> jnp.ndarray:
+    """Stacked Camera pytree (N,) -> (N, PARAM_SIZE) f32 for SMEM prefetch."""
+    import numpy as _np
+
+    def g(a):
+        return _np.asarray(a, _np.float32)
+
+    n = g(cams.position).shape[0]
+    out = _np.zeros((n, PARAM_SIZE), _np.float32)
+    out[:, PARAM_POS:PARAM_POS + 3] = g(cams.position)
+    out[:, PARAM_ROT:PARAM_ROT + 9] = g(cams.rotation).reshape(n, 9)
+    out[:, PARAM_PRINCIPAL:PARAM_PRINCIPAL + 2] = g(cams.principal)
+    out[:, PARAM_FOCAL:PARAM_FOCAL + 2] = g(cams.focal)
+    out[:, PARAM_DIST:PARAM_DIST + 3] = g(cams.distortion)
+    out[:, PARAM_DIST_MAX] = g(cams.distortion_max)
+    out[:, PARAM_COS_FOV] = g(cams.cos_fov)
+    out[:, PARAM_TYPE] = g(cams.type_code)
+    out[:, PARAM_RES:PARAM_RES + 2] = g(cams.resolution)
+    return jnp.asarray(out)
+
+
+def _atan_pos(x):
+    """atan for x >= 0 (Cephes atanf polynomial; Mosaic lacks atan)."""
+    big = x > 2.414213562373095
+    mid = x > 0.4142135623730951
+    safe = jnp.maximum(x, 1e-30)
+    xa = jnp.where(big, -1.0 / safe, jnp.where(mid, (x - 1.0) / (x + 1.0), x))
+    y0 = jnp.where(big, jnp.float32(np.pi / 2), jnp.where(mid, jnp.float32(np.pi / 4), 0.0))
+    z = xa * xa
+    y = (((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1) * z
+         - 3.33329491539e-1) * z * xa + xa
+    return y0 + y
+
+
+def _atan2_nonneg(a, b):
+    """atan2(a, b) for a >= 0."""
+    t = _atan_pos(a / jnp.maximum(jnp.abs(b), 1e-30))
+    return jnp.where(b > 0, t, jnp.where(b < 0, jnp.float32(np.pi) - t, jnp.float32(np.pi / 2)))
+
+
+def _make_project_kernel(ww: int, wh: int, c: int, precision=None):
+    precision = MATMUL_PRECISION if precision is None else precision
+    pi = float(np.pi)
+
+    def _kernel(params_ref, dstpos_ref, disp_ref, rays_ref, src_ref,
+                out_ref, valid_ref, win_ref, sems):
+        n_idx = pl.program_id(0)
+        hs, ws = src_ref.shape[2], src_ref.shape[3]
+        th, tw = disp_ref.shape
+        p = th * tw
+
+        def P(i):
+            return params_ref[n_idx, i]
+
+        # ---- projection math in packed (TH, TW) tile shape (a (P, 1)
+        # layout would waste 127/128 lanes of every vreg) ----
+        disp = disp_ref[...]
+        depth = 1.0 / jnp.maximum(disp, 1e-12)
+        wx_ = dstpos_ref[0, 0] + rays_ref[0] * depth
+        wy_ = dstpos_ref[0, 1] + rays_ref[1] * depth
+        wz_ = dstpos_ref[0, 2] + rays_ref[2] * depth
+
+        # camera-space v = R (world - position); rows = right, up, backward
+        ox_, oy_, oz_ = wx_ - P(PARAM_POS), wy_ - P(PARAM_POS + 1), wz_ - P(PARAM_POS + 2)
+        r = PARAM_ROT
+        vx = P(r + 0) * ox_ + P(r + 1) * oy_ + P(r + 2) * oz_
+        vy = P(r + 3) * ox_ + P(r + 4) * oy_ + P(r + 5) * oz_
+        vz = P(r + 6) * ox_ + P(r + 7) * oy_ + P(r + 8) * oz_
+
+        xy_sq = vx * vx + vy * vy
+        xy_norm = jnp.sqrt(xy_sq)
+        full_sq = xy_sq + vz * vz
+        full_norm = jnp.sqrt(full_sq)
+        tiny = jnp.float32(1.1754944e-38)
+        xy_safe = jnp.maximum(xy_norm, tiny)
+        full_safe = jnp.maximum(full_norm, tiny)
+
+        tc = P(PARAM_TYPE)
+        # FTHETA: r = atan2(|xy|, -z); RECTILINEAR: |xy|/-z or tan(pi/2);
+        # EQUISOLID: 2 sqrt((1 + z/|v|)/2)   (util/Camera.h:301-341)
+        r_ftheta = _atan2_nonneg(xy_norm, -vz)
+        tan_half_pi = jnp.tan(jnp.float32(pi / 2))
+        r_rect = jnp.where(-vz > 0, xy_norm / jnp.where(-vz > 0, -vz, 1.0), tan_half_pi)
+        r_equi = 2.0 * jnp.sqrt(jnp.maximum((1.0 + vz / full_safe) / 2.0, 0.0))
+        rr = jnp.where(tc == 0.0, r_ftheta, jnp.where(tc == 1.0, r_rect, r_equi))
+
+        # distort(r) = r * (1 + s(d0 + s(d1 + s d2))), r clamped at dist_max
+        d0, d1, d2 = P(PARAM_DIST), P(PARAM_DIST + 1), P(PARAM_DIST + 2)
+        rc = jnp.minimum(rr, P(PARAM_DIST_MAX))
+        s2 = rc * rc
+        dist_std = (1.0 + s2 * (d0 + s2 * (d1 + s2 * d2))) * rc
+        sx_std = dist_std / xy_safe * vx
+        sy_std = dist_std / xy_safe * vy
+
+        # ORTHOGRAPHIC: pre = xy/|v| in front else xy/|xy|; unclamped factor
+        pre_den = jnp.where(vz < 0, full_safe, xy_safe)
+        px_ = vx / pre_den
+        py_ = vy / pre_den
+        pre_sq = px_ * px_ + py_ * py_
+        f_ortho = 1.0 + pre_sq * (d0 + pre_sq * (d1 + pre_sq * d2))
+        sx = jnp.where(tc == 3.0, f_ortho * px_, sx_std)
+        sy = jnp.where(tc == 3.0, f_ortho * py_, sy_std)
+
+        pix_x = P(PARAM_FOCAL) * sx + P(PARAM_PRINCIPAL)
+        pix_y = P(PARAM_FOCAL + 1) * sy + P(PARAM_PRINCIPAL + 1)
+
+        # validity: FOV cone (dot = forward.(world-pos) = -vz), sensor bounds,
+        # positive disparity, finite coords (util/Camera.h:154-190)
+        cf = P(PARAM_COS_FOV)
+        dot = -vz
+        outside_fov = dot * jnp.abs(dot) <= cf * jnp.abs(cf) * full_sq
+        outside_fov &= cf != -1.0  # default FOV = whole sphere (select on
+        # bool vectors fails to legalize in Mosaic; use boolean algebra)
+        res_x, res_y = P(PARAM_RES), P(PARAM_RES + 1)
+        inside_sensor = (pix_x >= 0) & (pix_x < res_x) & (pix_y >= 0) & (pix_y < res_y)
+        xt = pix_x / res_x * ws - 0.5
+        yt = pix_y / res_y * hs - 0.5
+        finite = jnp.isfinite(xt) & jnp.isfinite(yt)
+        ok0 = finite & inside_sensor & ~outside_fov & (disp > 0)
+
+        xt = jnp.clip(jnp.where(finite, xt, 0.0), 0.0, ws - 1.0)
+        yt = jnp.clip(jnp.where(finite, yt, 0.0), 0.0, hs - 1.0)
+
+        # window origin from the packed tile, aligned to the HBM (8, 128) grid
+        ox = jnp.clip(jnp.min(xt).astype(jnp.int32) // 128, 0, max((ws - ww) // 128, 0)) * 128
+        oy = jnp.clip(jnp.min(yt).astype(jnp.int32) // 8, 0, max((hs - wh) // 8, 0)) * 8
+        ox = pl.multiple_of(ox, 128)
+        oy = pl.multiple_of(oy, 8)
+        copies = [
+            pltpu.make_async_copy(
+                src_ref.at[n_idx, ci, pl.ds(oy, wh), pl.ds(ox, ww)],
+                win_ref.at[ci],
+                sems.at[ci],
+            )
+            for ci in range(c)
+        ]
+        for cp in copies:
+            cp.start()
+
+        # ---- hat weights need per-pixel rows: relayout once to (P, 1) ----
+        x = xt.reshape(1, p).T
+        y = yt.reshape(1, p).T
+        lx = x - ox.astype(jnp.float32)
+        ly = y - oy.astype(jnp.float32)
+        in_win_t = (xt >= ox) & (xt <= ox + (ww - 1.0)) & (yt >= oy) & (yt <= oy + (wh - 1.0))
+        lx = jnp.clip(lx, 0.0, ww - 1.0)
+        ly = jnp.clip(ly, 0.0, wh - 1.0)
+        jx = jax.lax.broadcasted_iota(jnp.int32, (p, ww), 1).astype(jnp.float32)
+        wx = jnp.maximum(1.0 - jnp.abs(lx - jx), 0.0)
+        jy = jax.lax.broadcasted_iota(jnp.int32, (p, wh), 1).astype(jnp.float32)
+        wy = jnp.maximum(1.0 - jnp.abs(ly - jy), 0.0)
+
+        ok_t = (ok0 & in_win_t).astype(jnp.float32)  # (TH, TW)
+        valid_ref[...] = ok_t.reshape(1, th, tw)
+        ok_col = ok_t.reshape(1, p).T  # (P, 1)
+        for ci, cp in enumerate(copies):
+            cp.wait()
+            win = win_ref[ci].astype(jnp.float32)
+            tmp = jax.lax.dot_general(
+                wx, win, (((1,), (1,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32,
+            )
+            out = jnp.sum(tmp * wy, axis=1, keepdims=True)
+            out_ref[0, ci] = (out * ok_col).T.reshape(th, tw)
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def project_sample_planar(
+    src_planar: jnp.ndarray,   # (N, C, H_s, W_s)
+    cam_params: jnp.ndarray,   # (N, PARAM_SIZE) from pack_camera_params
+    dst_position: jnp.ndarray, # (3,)
+    disparity: jnp.ndarray,    # (H, W)
+    rays: jnp.ndarray,         # (3, H, W) dst ray planes
+    interpret: bool | None = None,
+):
+    """Fused plane-sweep projection + bilinear sampling, one launch for all
+    sources. Warp fields never leave VMEM. Returns channel-planar
+    (sampled (N, C, H, W), valid (N, H, W))."""
+    if interpret is None:
+        interpret = _default_interpret()
+    n = src_planar.shape[0]
+    _, c, hs, ws = src_planar.shape
+    disparity_p, (h0, w0) = pad_to_tiles(disparity)
+    rays_p, _ = pad_to_tiles_nhw(rays)
+    h, w = disparity_p.shape
+    grid = (n, h // TILE_H, w // TILE_W)
+    ww = min(WINDOW_W, (ws // 128) * 128) or min(WINDOW_W, ws)
+    wh = min(WINDOW_H, (hs // 8) * 8) or min(WINDOW_H, hs)
+
+    out, valid = pl.pallas_call(
+        _make_project_kernel(ww, wh, c, None),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (N, PARAM_SIZE) table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dst position (1, 4)
+            pl.BlockSpec((TILE_H, TILE_W), lambda s, i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_H, TILE_W), lambda s, i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c, TILE_H, TILE_W), lambda s, i, j: (s, 0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c, wh, ww), src_planar.dtype),
+            pltpu.SemaphoreType.DMA((c,)),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(cam_params, jnp.float32),
+        jnp.pad(jnp.asarray(dst_position, jnp.float32), (0, 1)).reshape(1, 4),
+        disparity_p.astype(jnp.float32),
+        rays_p.astype(jnp.float32),
+        src_planar,
+    )
+    return out[:, :, :h0, :w0], valid[:, :h0, :w0]
+
+
+def pack_camera_params_traced(cams) -> jnp.ndarray:
+    """pack_camera_params for traced (device) camera pytrees."""
+    n = cams.position.shape[0]
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+
+    def bcast(a, k):
+        a = f32(a).reshape(n, -1)
+        return a[:, :k]
+
+    return jnp.concatenate(
+        [
+            bcast(cams.position, 3),
+            f32(cams.rotation).reshape(n, 9),
+            bcast(cams.principal, 2),
+            bcast(cams.focal, 2),
+            bcast(cams.distortion, 3),
+            f32(cams.distortion_max).reshape(n, 1),
+            f32(cams.cos_fov).reshape(n, 1),
+            f32(cams.type_code).reshape(n, 1),
+            bcast(cams.resolution, 2),
+        ],
+        axis=1,
+    )

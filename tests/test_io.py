@@ -64,3 +64,21 @@ def test_pyramid_level_sizes(tmp_path):
 
 def test_frame_name():
     assert io.frame_name(7) == "000007"
+
+
+def test_exr_roundtrip(tmp_path):
+    import numpy as np
+
+    from facebook360_dep_tpu.core import exr, io
+
+    rng = np.random.RandomState(0)
+    d = rng.rand(17, 23).astype(np.float32)
+    p = str(tmp_path / "d.exr")
+    io.write_disparity(p, d)
+    back = io.read_disparity(p)
+    assert np.array_equal(back, d)
+
+    rgb = rng.rand(9, 13, 3).astype(np.float32)
+    p3 = str(tmp_path / "c.exr")
+    exr.write_exr(p3, rgb)
+    assert np.array_equal(exr.read_exr(p3), rgb)
