@@ -49,6 +49,9 @@ RANDOM_PROP_HIGH_VAR_DEVIATION = 0.1
 MIN_VAR = 1.0 / 12.0 / 65025.0
 LEVEL_SCALE = 0.9
 FLT_MAX = jnp.finfo(jnp.float32).max
+# kernel v3 (fully fused cost) is interpret-correct but blocked on real TPUs
+# by Mosaic's unaligned-reshape limitation; flip on for experiments
+USE_FUSED_COST_KERNEL = False
 
 
 class CostContext(NamedTuple):
@@ -211,6 +214,20 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
     pos_rays = (ctx.cam_dst.position, ctx.dst_rays)
     h, w = ctx.dst_img.shape[:2]
 
+    if ctx.src_imgs_t is not None and USE_FUSED_COST_KERNEL:
+        # experimental kernel v3 (warp_pallas.plane_sweep_cost): the entire
+        # cost fused into one launch. Correct in interpret mode; blocked on
+        # real TPUs by a Mosaic limitation (unaligned (18, 130) halo-region
+        # reshapes for the hat matrices) — see NOTES_ROUND2.md.
+        disparity_map = jnp.broadcast_to(jnp.asarray(disparity, jnp.float32), (h, w))
+        rays_planar = jnp.moveaxis(ctx.dst_rays, -1, 0)  # (3, H, W)
+        dst_planar = jnp.moveaxis(ctx.dst_img[..., :3], -1, 0)
+        params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
+        return warp_pallas.plane_sweep_cost(
+            ctx.src_imgs_t, params, ctx.cam_dst.position, ctx.exclude_idx,
+            disparity_map, rays_planar, dst_planar, ctx.variance,
+            min_keep=MIN_OVERLAPPING_CAMS - 1, flt_max=float(FLT_MAX), min_var=float(MIN_VAR),
+        )
     if ctx.src_imgs_t is not None:
         # fused project+sample kernel: the warp fields never touch HBM
         # (materializing them made candidate evaluation HBM-bound)
