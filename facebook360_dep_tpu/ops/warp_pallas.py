@@ -541,7 +541,7 @@ def _make_cost_kernel(ww: int, wh: int, c: int, n_src: int,
 
     def _kernel(params_ref, dstpos_ref, exclude_ref, disp_hbm, rays_hbm, dst_hbm,
                 src_ref, var_ref, cost_ref, conf_ref,
-                in_win_ref, win_ref, in_sem, sems):
+                in_win_ref, win_ref, sc_ref, in_sem, sems):
         i = pl.program_id(0)
         j = pl.program_id(1)
         hs, ws = src_ref.shape[2], src_ref.shape[3]
@@ -584,14 +584,6 @@ def _make_cost_kernel(ww: int, wh: int, c: int, n_src: int,
         dst_c = [plane(4 + k) for k in range(c)]
 
         n_patch = jnp.float32((2 * HALO + 1) ** 2)
-
-        def box(x):  # (ph, pw) -> (th, tw) 3x3 sum
-            acc = None
-            for dy in range(2 * HALO + 1):
-                for dx in range(2 * HALO + 1):
-                    t = x[dy:dy + th, dx:dx + tw]
-                    acc = t if acc is None else acc + t
-            return acc
 
         neg = jnp.float32(-flt_max)
         b1 = jnp.full((th, tw), neg)
@@ -663,38 +655,75 @@ def _make_cost_kernel(ww: int, wh: int, c: int, n_src: int,
                 cp.start()
 
             in_win = (xt >= sox) & (xt <= sox + (ww - 1.0)) & (yt >= soy) & (yt <= soy + (wh - 1.0))
-            okp = ok0 & in_win  # (ph, pw)
-            x1 = xt.reshape(1, p).T
-            y1 = yt.reshape(1, p).T
-            lx = jnp.clip(x1 - sox.astype(jnp.float32), 0.0, ww - 1.0)
-            lyy = jnp.clip(y1 - soy.astype(jnp.float32), 0.0, wh - 1.0)
-            jxx = jax.lax.broadcasted_iota(jnp.int32, (p, ww), 1).astype(jnp.float32)
-            wxm = jnp.maximum(1.0 - jnp.abs(lx - jxx), 0.0)
-            jyy = jax.lax.broadcasted_iota(jnp.int32, (p, wh), 1).astype(jnp.float32)
-            wym = jnp.maximum(1.0 - jnp.abs(lyy - jyy), 0.0)
-
+            okp = ok0 & in_win  # (ph, pw) halo region
             okf = okp.astype(jnp.float32)
+
+            # the (ph, pw) = (18, 130) halo region cannot reshape to hat rows
+            # (Mosaic rejects unaligned shape casts), so sample it piecewise:
+            # the aligned (th, tw) core plus the 4 ring strips, each as its
+            # own hat matmul, and paste results into the (18, 130) corner of
+            # an aligned scratch for the shifted-add box sums.
+            # pieces: (row slice, col slice, to-column, from-column)
+            pieces = [
+                ((1, 1 + th), (1, 1 + tw),
+                 lambda a: a.reshape(1, th * tw).T,
+                 lambda v: v.T.reshape(th, tw)),
+                ((0, 1), (0, pw), lambda a: a.T, lambda v: v.T),           # top
+                ((ph - 1, ph), (0, pw), lambda a: a.T, lambda v: v.T),     # bottom
+                ((1, 1 + th), (0, 1), lambda a: a, lambda v: v),           # left
+                ((1, 1 + th), (pw - 1, pw), lambda a: a, lambda v: v),     # right
+            ]
+            lx_all = jnp.clip(xt - sox.astype(jnp.float32), 0.0, ww - 1.0)
+            ly_all = jnp.clip(yt - soy.astype(jnp.float32), 0.0, wh - 1.0)
+
+            piece_w = []
+            for (r0, r1), (c0, c1), to_col, _ in pieces:
+                lx = to_col(lx_all[r0:r1, c0:c1])
+                lyy = to_col(ly_all[r0:r1, c0:c1])
+                np_rows = lx.shape[0]
+                jxx = jax.lax.broadcasted_iota(jnp.int32, (np_rows, ww), 1).astype(jnp.float32)
+                wxm = jnp.maximum(1.0 - jnp.abs(lx - jxx), 0.0)
+                jyy = jax.lax.broadcasted_iota(jnp.int32, (np_rows, wh), 1).astype(jnp.float32)
+                wym = jnp.maximum(1.0 - jnp.abs(lyy - jyy), 0.0)
+                piece_w.append((wxm, wym))
+
+            # scratch planes: ok, d2, diff per channel — pasted halo regions
+            sc_ref[...] = jnp.zeros(sc_ref.shape, sc_ref.dtype)
+            sc_ref[0, 0:ph, 0:pw] = okf
             d2sum = jnp.zeros((ph, pw), jnp.float32)
-            diffs = []
             for ci, cp in enumerate(scps):
                 cp.wait()
                 win = win_ref[ci].astype(jnp.float32)
-                tmp = jax.lax.dot_general(
-                    wxm, win, (((1,), (1,)), ((), ())),
-                    precision=precision, preferred_element_type=jnp.float32,
-                )
-                samp = jnp.sum(tmp * wym, axis=1, keepdims=True).T.reshape(ph, pw)
-                diff = (dst_c[ci] - samp) * okf
-                diffs.append(diff)
-                d2sum = d2sum + diff * diff
+                for k, ((r0, r1), (c0, c1), _, from_col) in enumerate(pieces):
+                    wxm, wym = piece_w[k]
+                    tmp = jax.lax.dot_general(
+                        wxm, win, (((1,), (1,)), ((), ())),
+                        precision=precision, preferred_element_type=jnp.float32,
+                    )
+                    samp = from_col(jnp.sum(tmp * wym, axis=1, keepdims=True))
+                    diff = (dst_c[ci][r0:r1, c0:c1] - samp) * okf[r0:r1, c0:c1]
+                    sc_ref[2 + ci, r0:r1, c0:c1] = diff
 
-            cnt = box(okf)
+            for ci in range(c):
+                dfull = sc_ref[2 + ci, 0:ph, 0:pw]
+                d2sum = d2sum + dfull * dfull
+            sc_ref[1, 0:ph, 0:pw] = d2sum
+
+            def boxs(plane_idx):
+                acc = None
+                for dy in range(2 * HALO + 1):
+                    for dx in range(2 * HALO + 1):
+                        t = sc_ref[plane_idx, dy:dy + th, dx:dx + tw]
+                        acc = t if acc is None else acc + t
+                return acc
+
+            cnt = boxs(0)
             cnt_safe = jnp.maximum(cnt, 1.0)
             scale = n_patch / cnt_safe
-            biased = box(d2sum) * scale
+            biased = boxs(1) * scale
             md_sq = jnp.zeros((th, tw), jnp.float32)
-            for diff in diffs:
-                md = box(diff) / cnt_safe
+            for ci in range(c):
+                md = boxs(2 + ci) / cnt_safe
                 md_sq = md_sq + md * md
             unbiased = jnp.maximum(biased - n_patch * md_sq, 0.0)
 
@@ -792,6 +821,7 @@ def plane_sweep_cost(
         scratch_shapes=[
             pltpu.VMEM((4 + c, V3_IN_H, V3_IN_W), jnp.float32),
             pltpu.VMEM((c, wh, ww), src_planar.dtype),
+            pltpu.VMEM((2 + c, V3_TILE_H + 8, V3_TILE_W + 128), jnp.float32),
             pltpu.SemaphoreType.DMA((4 + c,)),
             pltpu.SemaphoreType.DMA((c,)),
         ],
