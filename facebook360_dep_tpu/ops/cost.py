@@ -234,7 +234,7 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
         disparity_map = jnp.broadcast_to(jnp.asarray(disparity, jnp.float32), (h, w))
         rays_planar = jnp.moveaxis(ctx.dst_rays, -1, 0)  # (3, H, W)
         params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
-        sampled, k_valid = warp_pallas.project_sample_planar(
+        sampled, k_valid = warp_pallas.project_sample_planar_v4(
             ctx.src_imgs_t, params, ctx.cam_dst.position, disparity_map, rays_planar
         )
         valid = k_valid > 0.5

@@ -484,6 +484,201 @@ def project_sample_planar(
     return out[:, :, :h0, :w0], valid[:, :h0, :w0]
 
 
+# ---------------------------------------------------------------------------
+# Kernel v4: transpose-free, channel-stacked project + sample.
+#
+# Ablations on v5e attributed v2's 254 ms/eval to (a) ~94 ms of
+# (1,P)<->(P,1) vector relayouts, (b) ~100 ms of MXU time dominated by the
+# output's 48 rows padding to 128, (c) ~43 ms of hat-weight construction.
+# v4 removes (a) and divides (b) by 3:
+#
+#   - pixels stay in the LANE dimension throughout: hat weights are built
+#     as (WW, P) / (WH, P) by broadcasting the (1, P) coordinate row over
+#     sublanes (the (TH, TW) -> (1, P) reshape is a no-op relayout, unlike
+#     the (P, 1) transpose v2 used);
+#   - all C channels' windows stack into ONE (C*WH, WW) LHS so the matmul
+#     is (C*WH, WW) x (WW, P) -> (C*WH, P): one 128-row MXU pass for
+#     C=3, WH=32 instead of three 48->128-padded passes.
+# ---------------------------------------------------------------------------
+
+V4_WINDOW_H = 32   # sublane axis: origin aligned to 8 -> y-magnification <= (32-8-2)/16
+V4_WINDOW_W = 384  # lane axis: origin aligned to 128 -> x-magnification <= (384-128-2)/128
+
+
+def _make_project_kernel_v4(ww: int, wh: int, c: int, precision=None):
+    precision = MATMUL_PRECISION if precision is None else precision
+    pi = float(np.pi)
+
+    def _kernel(params_ref, dstpos_ref, disp_ref, rays_ref, src_ref,
+                out_ref, valid_ref, win_ref, sems):
+        n_idx = pl.program_id(0)
+        hs, ws = src_ref.shape[2], src_ref.shape[3]
+        th, tw = disp_ref.shape
+        p = th * tw
+
+        def P(i):
+            return params_ref[n_idx, i]
+
+        # ---- projection math in packed (TH, TW) tile shape ----
+        disp = disp_ref[...]
+        depth = 1.0 / jnp.maximum(disp, 1e-12)
+        wx_ = dstpos_ref[0, 0] + rays_ref[0] * depth
+        wy_ = dstpos_ref[0, 1] + rays_ref[1] * depth
+        wz_ = dstpos_ref[0, 2] + rays_ref[2] * depth
+
+        ox_, oy_, oz_ = wx_ - P(PARAM_POS), wy_ - P(PARAM_POS + 1), wz_ - P(PARAM_POS + 2)
+        r = PARAM_ROT
+        vx = P(r + 0) * ox_ + P(r + 1) * oy_ + P(r + 2) * oz_
+        vy = P(r + 3) * ox_ + P(r + 4) * oy_ + P(r + 5) * oz_
+        vz = P(r + 6) * ox_ + P(r + 7) * oy_ + P(r + 8) * oz_
+
+        xy_sq = vx * vx + vy * vy
+        xy_norm = jnp.sqrt(xy_sq)
+        full_sq = xy_sq + vz * vz
+        full_norm = jnp.sqrt(full_sq)
+        tiny = jnp.float32(1.1754944e-38)
+        xy_safe = jnp.maximum(xy_norm, tiny)
+        full_safe = jnp.maximum(full_norm, tiny)
+
+        tc = P(PARAM_TYPE)
+        r_ftheta = _atan2_nonneg(xy_norm, -vz)
+        tan_half_pi = jnp.tan(jnp.float32(pi / 2))
+        r_rect = jnp.where(-vz > 0, xy_norm / jnp.where(-vz > 0, -vz, 1.0), tan_half_pi)
+        r_equi = 2.0 * jnp.sqrt(jnp.maximum((1.0 + vz / full_safe) / 2.0, 0.0))
+        rr = jnp.where(tc == 0.0, r_ftheta, jnp.where(tc == 1.0, r_rect, r_equi))
+
+        d0, d1, d2 = P(PARAM_DIST), P(PARAM_DIST + 1), P(PARAM_DIST + 2)
+        rc = jnp.minimum(rr, P(PARAM_DIST_MAX))
+        s2 = rc * rc
+        dist_std = (1.0 + s2 * (d0 + s2 * (d1 + s2 * d2))) * rc
+        sx_std = dist_std / xy_safe * vx
+        sy_std = dist_std / xy_safe * vy
+        pre_den = jnp.where(vz < 0, full_safe, xy_safe)
+        px_ = vx / pre_den
+        py_ = vy / pre_den
+        pre_sq = px_ * px_ + py_ * py_
+        f_ortho = 1.0 + pre_sq * (d0 + pre_sq * (d1 + pre_sq * d2))
+        sx = jnp.where(tc == 3.0, f_ortho * px_, sx_std)
+        sy = jnp.where(tc == 3.0, f_ortho * py_, sy_std)
+
+        pix_x = P(PARAM_FOCAL) * sx + P(PARAM_PRINCIPAL)
+        pix_y = P(PARAM_FOCAL + 1) * sy + P(PARAM_PRINCIPAL + 1)
+
+        cf = P(PARAM_COS_FOV)
+        dot = -vz
+        outside_fov = dot * jnp.abs(dot) <= cf * jnp.abs(cf) * full_sq
+        outside_fov &= cf != -1.0
+        res_x, res_y = P(PARAM_RES), P(PARAM_RES + 1)
+        inside_sensor = (pix_x >= 0) & (pix_x < res_x) & (pix_y >= 0) & (pix_y < res_y)
+        xt = pix_x / res_x * ws - 0.5
+        yt = pix_y / res_y * hs - 0.5
+        finite = jnp.isfinite(xt) & jnp.isfinite(yt)
+        ok0 = finite & inside_sensor & ~outside_fov & (disp > 0)
+
+        xt = jnp.clip(jnp.where(finite, xt, 0.0), 0.0, ws - 1.0)
+        yt = jnp.clip(jnp.where(finite, yt, 0.0), 0.0, hs - 1.0)
+
+        ox = jnp.clip(jnp.min(xt).astype(jnp.int32) // 128, 0, max((ws - ww) // 128, 0)) * 128
+        oy = jnp.clip(jnp.min(yt).astype(jnp.int32) // 8, 0, max((hs - wh) // 8, 0)) * 8
+        ox = pl.multiple_of(ox, 128)
+        oy = pl.multiple_of(oy, 8)
+        # one DMA per channel into the stacked (C*WH, WW) window
+        copies = [
+            pltpu.make_async_copy(
+                src_ref.at[n_idx, ci, pl.ds(oy, wh), pl.ds(ox, ww)],
+                win_ref.at[pl.ds(ci * wh, wh), :],
+                sems.at[ci],
+            )
+            for ci in range(c)
+        ]
+        for cp in copies:
+            cp.start()
+
+        in_win_t = (xt >= ox) & (xt <= ox + (ww - 1.0)) & (yt >= oy) & (yt <= oy + (wh - 1.0))
+        ok_t = (ok0 & in_win_t).astype(jnp.float32)
+        valid_ref[...] = ok_t.reshape(1, th, tw).astype(valid_ref.dtype)
+
+        # ---- hat weights with pixels on the LANE axis (no transposes) ----
+        lxr = jnp.clip(xt - ox.astype(jnp.float32), 0.0, ww - 1.0).reshape(1, p)
+        lyr = jnp.clip(yt - oy.astype(jnp.float32), 0.0, wh - 1.0).reshape(1, p)
+        jx = jax.lax.broadcasted_iota(jnp.int32, (ww, p), 0).astype(jnp.float32)
+        wxT = jnp.maximum(1.0 - jnp.abs(lxr - jx), 0.0)  # (WW, P)
+        jy = jax.lax.broadcasted_iota(jnp.int32, (wh, p), 0).astype(jnp.float32)
+        wyT = jnp.maximum(1.0 - jnp.abs(lyr - jy), 0.0)  # (WH, P)
+
+        for cp in copies:
+            cp.wait()
+        win = win_ref[...].astype(jnp.float32)  # (C*WH, WW)
+        tmp = jax.lax.dot_general(
+            win, wxT, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32,
+        )  # (C*WH, P)
+        okr = ok_t.reshape(1, p)
+        for ci in range(c):
+            res = jnp.sum(tmp[ci * wh:(ci + 1) * wh] * wyT, axis=0, keepdims=True)
+            out_ref[0, ci] = (res * okr).reshape(th, tw).astype(out_ref.dtype)
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "precision", "out_dtype"))
+def project_sample_planar_v4(
+    src_planar: jnp.ndarray,   # (N, C, H_s, W_s)
+    cam_params: jnp.ndarray,   # (N, PARAM_SIZE) from pack_camera_params
+    dst_position: jnp.ndarray, # (3,)
+    disparity: jnp.ndarray,    # (H, W)
+    rays: jnp.ndarray,         # (3, H, W) dst ray planes
+    interpret: bool | None = None,
+    precision=None,
+    out_dtype=jnp.float32,
+):
+    """Fused plane-sweep projection + bilinear sampling (kernel v4: see the
+    section comment). Returns channel-planar (sampled (N, C, H, W), valid
+    (N, H, W))."""
+    if interpret is None:
+        interpret = _default_interpret()
+    n = src_planar.shape[0]
+    _, c, hs, ws = src_planar.shape
+    disparity_p, (h0, w0) = pad_to_tiles(disparity)
+    rays_p, _ = pad_to_tiles_nhw(rays)
+    h, w = disparity_p.shape
+    grid = (n, h // TILE_H, w // TILE_W)
+    ww = min(V4_WINDOW_W, (ws // 128) * 128) or min(V4_WINDOW_W, ws)
+    wh = min(V4_WINDOW_H, (hs // 8) * 8) or min(V4_WINDOW_H, hs)
+
+    out, valid = pl.pallas_call(
+        _make_project_kernel_v4(ww, wh, c, precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam params (N, PARAM_SIZE)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dst position (1, 4)
+            pl.BlockSpec((TILE_H, TILE_W), lambda s, i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE_H, TILE_W), lambda s, i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c, TILE_H, TILE_W), lambda s, i, j: (s, 0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, c, h, w), out_dtype),
+            jax.ShapeDtypeStruct((n, h, w), out_dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c * wh, ww), src_planar.dtype),
+            pltpu.SemaphoreType.DMA((c,)),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(cam_params, jnp.float32),
+        jnp.pad(jnp.asarray(dst_position, jnp.float32), (0, 1)).reshape(1, 4),
+        disparity_p.astype(jnp.float32),
+        rays_p.astype(jnp.float32),
+        src_planar,
+    )
+    return out[:, :, :h0, :w0], valid[:, :h0, :w0]
+
+
 def pack_camera_params_traced(cams) -> jnp.ndarray:
     """pack_camera_params for traced (device) camera pytrees."""
     n = cams.position.shape[0]
