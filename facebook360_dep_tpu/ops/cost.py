@@ -229,22 +229,26 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
             min_keep=MIN_OVERLAPPING_CAMS - 1, flt_max=float(FLT_MAX), min_var=float(MIN_VAR),
         )
     if ctx.src_imgs_t is not None:
-        # fused project+sample kernel: the warp fields never touch HBM
-        # (materializing them made candidate evaluation HBM-bound)
+        # two fused kernels, no big XLA intermediates: v4 projects + samples
+        # (warp fields never touch HBM, samples staged in bf16), k2 forms the
+        # bias-compensated SSDs + drop-2-worst combine from the sampled stack
         disparity_map = jnp.broadcast_to(jnp.asarray(disparity, jnp.float32), (h, w))
         rays_planar = jnp.moveaxis(ctx.dst_rays, -1, 0)  # (3, H, W)
         params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
         sampled, k_valid = warp_pallas.project_sample_planar_v4(
             ctx.src_imgs_t, params, ctx.cam_dst.position, disparity_map, rays_planar
         )
-        valid = k_valid > 0.5
-        biased, unbiased, valid = ssd_planar(ctx.dst_img, sampled, valid)
-    else:
-        def one(cam_src, src_img):
-            return per_src_ssd(pos_rays, cam_src, ctx.dst_img, src_img, disparity)
+        dst_planar = jnp.moveaxis(ctx.dst_img[..., :3], -1, 0)
+        return warp_pallas.ssd_combine(
+            sampled, k_valid, dst_planar, ctx.variance, ctx.exclude_idx,
+            min_keep=MIN_OVERLAPPING_CAMS - 1, flt_max=float(FLT_MAX),
+            min_var=float(MIN_VAR),
+        )
 
-        biased, unbiased, valid = jax.vmap(one)(ctx.src_cams, ctx.src_imgs)
+    def one(cam_src, src_img):
+        return per_src_ssd(pos_rays, cam_src, ctx.dst_img, src_img, disparity)
 
+    biased, unbiased, valid = jax.vmap(one)(ctx.src_cams, ctx.src_imgs)
     not_self = jnp.arange(n) != ctx.exclude_idx
     valid &= not_self[:, None, None]
     return combine_top2(biased, unbiased, valid, ctx.variance)

@@ -705,6 +705,185 @@ def pack_camera_params_traced(cams) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Kernel k2: fused bias-compensated SSD + drop-2-worst combine.
+#
+# Consumes the channel-planar sampled stack straight from kernel v4 and
+# emits (cost, confidence) maps, replacing the XLA-side ssd_planar +
+# combine_top2 stage (measured ~123 ms/eval at 2K/16-src: XLA materializes
+# the (N, C, H, W) diff intermediates in f32). Per (32, 256) tile it DMAs
+# one (N, C, 48, 512) window of samples + validity + dst color (the halo
+# rides the aligned leading (8, 128) pad, v3's trick), forms the 3x3 box
+# sums with shifted adds in VMEM, and keeps a running two-worst-biased
+# accumulator across sources (Derp.cpp:203-225 semantics, identical to
+# cost.combine_top2).
+# ---------------------------------------------------------------------------
+
+K2_TILE_H = 32
+K2_TILE_W = 256
+K2_IN_H = K2_TILE_H + 16   # leading pad 8 + halo 1 -> rows [i*32, i*32+48)
+K2_IN_W = K2_TILE_W + 256  # leading pad 128 + halo 1 -> cols [j*256, j*256+512)
+
+
+def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
+                             flt_max: float, min_var: float):
+    th, tw = K2_TILE_H, K2_TILE_W
+    ih, iw = K2_IN_H, K2_IN_W
+    n_patch = float((2 * HALO + 1) ** 2)
+
+    def _box(x):
+        """3x3 box sum of the (ih, iw) plane, returned for the (th, tw) core
+        (core origin at local (8, 128); halo 1)."""
+        rows = x[8 - 1:8 - 1 + th] + x[8:8 + th] + x[8 + 1:8 + 1 + th]
+        return rows[:, 128 - 1:128 - 1 + tw] + rows[:, 128:128 + tw] + rows[:, 128 + 1:128 + 1 + tw]
+
+    def _core(x):
+        return x[8:8 + th, 128:128 + tw]
+
+    def _kernel(exclude_ref, samp_hbm, val_hbm, dst_hbm, var_ref,
+                cost_ref, conf_ref, swin_ref, vwin_ref, dwin_ref, sems):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        row0 = pl.multiple_of(i * th, 8)
+        col0 = pl.multiple_of(j * tw, 128)
+
+        cps = [
+            pltpu.make_async_copy(
+                samp_hbm.at[:, :, pl.ds(row0, ih), pl.ds(col0, iw)], swin_ref, sems.at[0]),
+            pltpu.make_async_copy(
+                val_hbm.at[:, pl.ds(row0, ih), pl.ds(col0, iw)], vwin_ref, sems.at[1]),
+            pltpu.make_async_copy(
+                dst_hbm.at[:, pl.ds(row0, ih), pl.ds(col0, iw)], dwin_ref, sems.at[2]),
+        ]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+        dst_c = [dwin_ref[ci].astype(jnp.float32) for ci in range(c)]
+        neg = jnp.float32(-flt_max)
+
+        def src_step(s, carry):
+            b1, u1, b2, u2, total_u, count = carry
+            not_self = (exclude_ref[0, 0] != s).astype(jnp.float32)
+            vld = vwin_ref[s].astype(jnp.float32) * not_self  # (ih, iw)
+            cnt = _box(vld)
+            cnt_safe = jnp.maximum(cnt, 1.0)
+            scale = n_patch / cnt_safe
+
+            d2 = jnp.zeros((ih, iw), jnp.float32)
+            md_sq = jnp.zeros((th, tw), jnp.float32)
+            for ci in range(c):
+                diff = (dst_c[ci] - swin_ref[s, ci].astype(jnp.float32)) * vld
+                d2 = d2 + diff * diff
+                md = _box(diff) / cnt_safe
+                md_sq = md_sq + md * md
+            biased = _box(d2) * scale
+            unbiased = jnp.maximum(biased - n_patch * md_sq, 0.0)
+
+            v = _core(vld) > 0.0
+            b = jnp.where(v, biased, neg)
+            u = jnp.where(v, unbiased, 0.0)
+            is1 = b > b1
+            nb1 = jnp.where(is1, b, b1)
+            nu1 = jnp.where(is1, u, u1)
+            b_dem = jnp.where(is1, b1, b)
+            u_dem = jnp.where(is1, u1, u)
+            is2 = b_dem > b2
+            nb2 = jnp.where(is2, b_dem, b2)
+            nu2 = jnp.where(is2, u_dem, u2)
+            return (nb1, nu1, nb2, nu2, total_u + u, count + v.astype(jnp.float32))
+
+        zero = jnp.zeros((th, tw), jnp.float32)
+        carry = (jnp.full((th, tw), neg), zero, jnp.full((th, tw), neg), zero, zero, zero)
+        b1, u1, b2, u2, total_u, count = jax.lax.fori_loop(0, n_src, src_step, carry)
+
+        keep = jnp.clip(jnp.maximum(count - 2.0, float(min_keep)), 1.0, float(n_src))
+        drop = count - keep
+        cost_sum = total_u - jnp.where(drop >= 1.0, u1, 0.0) - jnp.where(drop >= 2.0, u2, 0.0)
+        confidence = jnp.maximum(var_ref[...], min_var)
+        cost = cost_sum / (keep * keep) / confidence
+        enough = count >= float(min_keep)
+        cost_ref[...] = jnp.where(enough, cost, jnp.float32(flt_max))
+        conf_ref[...] = jnp.where(enough, confidence, 0.0)
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("min_keep", "flt_max", "min_var", "interpret"))
+def ssd_combine(
+    sampled: jnp.ndarray,    # (N, C, H, W) channel-planar samples (bf16 ok)
+    k_valid: jnp.ndarray,    # (N, H, W) {0,1}
+    dst_planar: jnp.ndarray, # (C, H, W)
+    variance: jnp.ndarray,   # (H, W)
+    exclude_idx,             # () int
+    min_keep: int,
+    flt_max: float = 3.4028235e38,
+    min_var: float = 1.0 / 12.0 / 65025.0,
+    interpret: bool | None = None,
+):
+    """Bias-compensated 3x3 patch SSD across sources + drop-2-worst combine
+    (cost.per_src_ssd + cost.combine_top2 semantics; Derp.cpp:104-226,
+    203-225). Returns (cost, confidence) each (H, W) float32."""
+    if interpret is None:
+        interpret = _default_interpret()
+    n, c, h0, w0 = sampled.shape
+    th, tw = K2_TILE_H, K2_TILE_W
+    grid = ((h0 + th - 1) // th, (w0 + tw - 1) // tw)
+    # aligned leading pad (8, 128) + trailing so each (48, 512) DMA fits;
+    # validity pads with ZEROS (border semantics identical to a zero-padded
+    # XLA box_sum), colors pad with edge values
+    tpad_r = grid[0] * th + (K2_IN_H - 8) - h0
+    tpad_c = grid[1] * tw + (K2_IN_W - 128) - w0
+    pads = [(8, tpad_r), (128, tpad_c)]
+
+    def pad2(a, mode):
+        cfg = [(0, 0)] * (a.ndim - 2) + pads
+        return jnp.pad(a, cfg, mode=mode) if mode != "zero" else jnp.pad(a, cfg)
+
+    samp_p = pad2(sampled, "edge")
+    val_p = pad2(k_valid, "zero")
+    dst_p = pad2(jnp.asarray(dst_planar, sampled.dtype), "edge")
+    var_p = jnp.pad(
+        jnp.asarray(variance, jnp.float32),
+        [(0, grid[0] * th - h0), (0, grid[1] * tw - w0)], mode="edge",
+    )
+
+    cost, conf = pl.pallas_call(
+        _make_ssd_combine_kernel(n, c, min_keep, flt_max, min_var),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # exclude (1, 1)
+            pl.BlockSpec(memory_space=pl.ANY),      # sampled
+            pl.BlockSpec(memory_space=pl.ANY),      # valid
+            pl.BlockSpec(memory_space=pl.ANY),      # dst color
+            pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid[0] * th, grid[1] * tw), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0] * th, grid[1] * tw), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, c, K2_IN_H, K2_IN_W), samp_p.dtype),
+            pltpu.VMEM((n, K2_IN_H, K2_IN_W), val_p.dtype),
+            pltpu.VMEM((c, K2_IN_H, K2_IN_W), dst_p.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(exclude_idx, jnp.int32).reshape(1, 1),
+        samp_p,
+        val_p,
+        dst_p,
+        var_p,
+    )
+    return cost[:h0, :w0], conf[:h0, :w0]
+
+
+# ---------------------------------------------------------------------------
 # Kernel v3: the full plane-sweep cost in one launch.
 #
 # v2 still materialized (N, C, H, W) sampled stacks for the XLA-side SSD.
