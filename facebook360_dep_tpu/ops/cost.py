@@ -49,9 +49,6 @@ RANDOM_PROP_HIGH_VAR_DEVIATION = 0.1
 MIN_VAR = 1.0 / 12.0 / 65025.0
 LEVEL_SCALE = 0.9
 FLT_MAX = jnp.finfo(jnp.float32).max
-# kernel v3 (fully fused cost) is interpret-correct but blocked on real TPUs
-# by Mosaic's unaligned-reshape limitation; flip on for experiments
-USE_FUSED_COST_KERNEL = False
 
 
 class CostContext(NamedTuple):
@@ -205,33 +202,20 @@ def combine_top2(biased, unbiased, valid, variance):
 def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Cost + confidence maps for a whole disparity map (or scalar hypothesis).
 
-    Sources evaluate under vmap; with src_imgs_t present, all sources'
-    bilinear sampling runs as ONE multi-source Pallas launch
-    (warp_pallas.warp_sample_multi) and the SSDs are formed on the sampled
-    stack. The cross-camera reduction is the sort-free combine_top2.
+    With src_imgs_t present (the TPU hot path) the eval is two Pallas
+    launches: project_sample_planar_v4 (projection + bilinear sampling of
+    all sources) and ssd_combine (bias-compensated SSDs + drop-2-worst).
+    Otherwise sources evaluate under vmap with XLA gathers and the
+    reduction is the sort-free combine_top2.
     """
     n = ctx.src_imgs.shape[0]
     pos_rays = (ctx.cam_dst.position, ctx.dst_rays)
     h, w = ctx.dst_img.shape[:2]
 
-    if ctx.src_imgs_t is not None and USE_FUSED_COST_KERNEL:
-        # experimental kernel v3 (warp_pallas.plane_sweep_cost): the entire
-        # cost fused into one launch. Correct in interpret mode; blocked on
-        # real TPUs by a Mosaic limitation (unaligned (18, 130) halo-region
-        # reshapes for the hat matrices) — see NOTES_ROUND2.md.
-        disparity_map = jnp.broadcast_to(jnp.asarray(disparity, jnp.float32), (h, w))
-        rays_planar = jnp.moveaxis(ctx.dst_rays, -1, 0)  # (3, H, W)
-        dst_planar = jnp.moveaxis(ctx.dst_img[..., :3], -1, 0)
-        params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
-        return warp_pallas.plane_sweep_cost(
-            ctx.src_imgs_t, params, ctx.cam_dst.position, ctx.exclude_idx,
-            disparity_map, rays_planar, dst_planar, ctx.variance,
-            min_keep=MIN_OVERLAPPING_CAMS - 1, flt_max=float(FLT_MAX), min_var=float(MIN_VAR),
-        )
     if ctx.src_imgs_t is not None:
         # two fused kernels, no big XLA intermediates: v4 projects + samples
-        # (warp fields never touch HBM, samples staged in bf16), k2 forms the
-        # bias-compensated SSDs + drop-2-worst combine from the sampled stack
+        # (warp fields never touch HBM), k2 forms the bias-compensated SSDs
+        # + drop-2-worst combine from the sampled stack
         disparity_map = jnp.broadcast_to(jnp.asarray(disparity, jnp.float32), (h, w))
         rays_planar = jnp.moveaxis(ctx.dst_rays, -1, 0)  # (3, H, W)
         params = warp_pallas.pack_camera_params_traced(ctx.src_cams)

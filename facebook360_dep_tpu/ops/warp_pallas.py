@@ -235,14 +235,12 @@ def warp_sample(src_img: jnp.ndarray, coords: jnp.ndarray, interpret: bool | Non
 
 
 # ---------------------------------------------------------------------------
-# Kernel v2: fused project + sample
+# Packed camera parameters + in-kernel projection helpers (used by v4).
 #
-# An ablation on v5e showed the per-source warp-field computation dominated
-# the cost evaluation when staged through HBM: materializing (N, H, W, 2)
-# coords + validity per candidate made ping-pong HBM-bound (~95% of its
-# time). v2 computes the camera projection per tile inside the kernel —
-# world point, rotation, the four projection models, polynomial distortion,
-# FOV/sensor validity — so warp fields never touch HBM. atan/atan2 are not
+# The projection is computed per tile inside the kernel - world point,
+# rotation, the four projection models, polynomial distortion, FOV/sensor
+# validity - so warp fields never touch HBM (materializing (N, H, W, 2)
+# coords per candidate made ping-pong HBM-bound). atan/atan2 are not
 # implemented by the Mosaic lowering; a Cephes-style polynomial provides
 # them to ~1e-7.
 # ---------------------------------------------------------------------------
@@ -298,190 +296,6 @@ def _atan2_nonneg(a, b):
     """atan2(a, b) for a >= 0."""
     t = _atan_pos(a / jnp.maximum(jnp.abs(b), 1e-30))
     return jnp.where(b > 0, t, jnp.where(b < 0, jnp.float32(np.pi) - t, jnp.float32(np.pi / 2)))
-
-
-def _make_project_kernel(ww: int, wh: int, c: int, precision=None):
-    precision = MATMUL_PRECISION if precision is None else precision
-    pi = float(np.pi)
-
-    def _kernel(params_ref, dstpos_ref, disp_ref, rays_ref, src_ref,
-                out_ref, valid_ref, win_ref, sems):
-        n_idx = pl.program_id(0)
-        hs, ws = src_ref.shape[2], src_ref.shape[3]
-        th, tw = disp_ref.shape
-        p = th * tw
-
-        def P(i):
-            return params_ref[n_idx, i]
-
-        # ---- projection math in packed (TH, TW) tile shape (a (P, 1)
-        # layout would waste 127/128 lanes of every vreg) ----
-        disp = disp_ref[...]
-        depth = 1.0 / jnp.maximum(disp, 1e-12)
-        wx_ = dstpos_ref[0, 0] + rays_ref[0] * depth
-        wy_ = dstpos_ref[0, 1] + rays_ref[1] * depth
-        wz_ = dstpos_ref[0, 2] + rays_ref[2] * depth
-
-        # camera-space v = R (world - position); rows = right, up, backward
-        ox_, oy_, oz_ = wx_ - P(PARAM_POS), wy_ - P(PARAM_POS + 1), wz_ - P(PARAM_POS + 2)
-        r = PARAM_ROT
-        vx = P(r + 0) * ox_ + P(r + 1) * oy_ + P(r + 2) * oz_
-        vy = P(r + 3) * ox_ + P(r + 4) * oy_ + P(r + 5) * oz_
-        vz = P(r + 6) * ox_ + P(r + 7) * oy_ + P(r + 8) * oz_
-
-        xy_sq = vx * vx + vy * vy
-        xy_norm = jnp.sqrt(xy_sq)
-        full_sq = xy_sq + vz * vz
-        full_norm = jnp.sqrt(full_sq)
-        tiny = jnp.float32(1.1754944e-38)
-        xy_safe = jnp.maximum(xy_norm, tiny)
-        full_safe = jnp.maximum(full_norm, tiny)
-
-        tc = P(PARAM_TYPE)
-        # FTHETA: r = atan2(|xy|, -z); RECTILINEAR: |xy|/-z or tan(pi/2);
-        # EQUISOLID: 2 sqrt((1 + z/|v|)/2)   (util/Camera.h:301-341)
-        r_ftheta = _atan2_nonneg(xy_norm, -vz)
-        tan_half_pi = jnp.tan(jnp.float32(pi / 2))
-        r_rect = jnp.where(-vz > 0, xy_norm / jnp.where(-vz > 0, -vz, 1.0), tan_half_pi)
-        r_equi = 2.0 * jnp.sqrt(jnp.maximum((1.0 + vz / full_safe) / 2.0, 0.0))
-        rr = jnp.where(tc == 0.0, r_ftheta, jnp.where(tc == 1.0, r_rect, r_equi))
-
-        # distort(r) = r * (1 + s(d0 + s(d1 + s d2))), r clamped at dist_max
-        d0, d1, d2 = P(PARAM_DIST), P(PARAM_DIST + 1), P(PARAM_DIST + 2)
-        rc = jnp.minimum(rr, P(PARAM_DIST_MAX))
-        s2 = rc * rc
-        dist_std = (1.0 + s2 * (d0 + s2 * (d1 + s2 * d2))) * rc
-        sx_std = dist_std / xy_safe * vx
-        sy_std = dist_std / xy_safe * vy
-
-        # ORTHOGRAPHIC: pre = xy/|v| in front else xy/|xy|; unclamped factor
-        pre_den = jnp.where(vz < 0, full_safe, xy_safe)
-        px_ = vx / pre_den
-        py_ = vy / pre_den
-        pre_sq = px_ * px_ + py_ * py_
-        f_ortho = 1.0 + pre_sq * (d0 + pre_sq * (d1 + pre_sq * d2))
-        sx = jnp.where(tc == 3.0, f_ortho * px_, sx_std)
-        sy = jnp.where(tc == 3.0, f_ortho * py_, sy_std)
-
-        pix_x = P(PARAM_FOCAL) * sx + P(PARAM_PRINCIPAL)
-        pix_y = P(PARAM_FOCAL + 1) * sy + P(PARAM_PRINCIPAL + 1)
-
-        # validity: FOV cone (dot = forward.(world-pos) = -vz), sensor bounds,
-        # positive disparity, finite coords (util/Camera.h:154-190)
-        cf = P(PARAM_COS_FOV)
-        dot = -vz
-        outside_fov = dot * jnp.abs(dot) <= cf * jnp.abs(cf) * full_sq
-        outside_fov &= cf != -1.0  # default FOV = whole sphere (select on
-        # bool vectors fails to legalize in Mosaic; use boolean algebra)
-        res_x, res_y = P(PARAM_RES), P(PARAM_RES + 1)
-        inside_sensor = (pix_x >= 0) & (pix_x < res_x) & (pix_y >= 0) & (pix_y < res_y)
-        xt = pix_x / res_x * ws - 0.5
-        yt = pix_y / res_y * hs - 0.5
-        finite = jnp.isfinite(xt) & jnp.isfinite(yt)
-        ok0 = finite & inside_sensor & ~outside_fov & (disp > 0)
-
-        xt = jnp.clip(jnp.where(finite, xt, 0.0), 0.0, ws - 1.0)
-        yt = jnp.clip(jnp.where(finite, yt, 0.0), 0.0, hs - 1.0)
-
-        # window origin from the packed tile, aligned to the HBM (8, 128) grid
-        ox = jnp.clip(jnp.min(xt).astype(jnp.int32) // 128, 0, max((ws - ww) // 128, 0)) * 128
-        oy = jnp.clip(jnp.min(yt).astype(jnp.int32) // 8, 0, max((hs - wh) // 8, 0)) * 8
-        ox = pl.multiple_of(ox, 128)
-        oy = pl.multiple_of(oy, 8)
-        copies = [
-            pltpu.make_async_copy(
-                src_ref.at[n_idx, ci, pl.ds(oy, wh), pl.ds(ox, ww)],
-                win_ref.at[ci],
-                sems.at[ci],
-            )
-            for ci in range(c)
-        ]
-        for cp in copies:
-            cp.start()
-
-        # ---- hat weights need per-pixel rows: relayout once to (P, 1) ----
-        x = xt.reshape(1, p).T
-        y = yt.reshape(1, p).T
-        lx = x - ox.astype(jnp.float32)
-        ly = y - oy.astype(jnp.float32)
-        in_win_t = (xt >= ox) & (xt <= ox + (ww - 1.0)) & (yt >= oy) & (yt <= oy + (wh - 1.0))
-        lx = jnp.clip(lx, 0.0, ww - 1.0)
-        ly = jnp.clip(ly, 0.0, wh - 1.0)
-        jx = jax.lax.broadcasted_iota(jnp.int32, (p, ww), 1).astype(jnp.float32)
-        wx = jnp.maximum(1.0 - jnp.abs(lx - jx), 0.0)
-        jy = jax.lax.broadcasted_iota(jnp.int32, (p, wh), 1).astype(jnp.float32)
-        wy = jnp.maximum(1.0 - jnp.abs(ly - jy), 0.0)
-
-        ok_t = (ok0 & in_win_t).astype(jnp.float32)  # (TH, TW)
-        valid_ref[...] = ok_t.reshape(1, th, tw)
-        ok_col = ok_t.reshape(1, p).T  # (P, 1)
-        for ci, cp in enumerate(copies):
-            cp.wait()
-            win = win_ref[ci].astype(jnp.float32)
-            tmp = jax.lax.dot_general(
-                wx, win, (((1,), (1,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32,
-            )
-            out = jnp.sum(tmp * wy, axis=1, keepdims=True)
-            out_ref[0, ci] = (out * ok_col).T.reshape(th, tw)
-
-    return _kernel
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def project_sample_planar(
-    src_planar: jnp.ndarray,   # (N, C, H_s, W_s)
-    cam_params: jnp.ndarray,   # (N, PARAM_SIZE) from pack_camera_params
-    dst_position: jnp.ndarray, # (3,)
-    disparity: jnp.ndarray,    # (H, W)
-    rays: jnp.ndarray,         # (3, H, W) dst ray planes
-    interpret: bool | None = None,
-):
-    """Fused plane-sweep projection + bilinear sampling, one launch for all
-    sources. Warp fields never leave VMEM. Returns channel-planar
-    (sampled (N, C, H, W), valid (N, H, W))."""
-    if interpret is None:
-        interpret = _default_interpret()
-    n = src_planar.shape[0]
-    _, c, hs, ws = src_planar.shape
-    disparity_p, (h0, w0) = pad_to_tiles(disparity)
-    rays_p, _ = pad_to_tiles_nhw(rays)
-    h, w = disparity_p.shape
-    grid = (n, h // TILE_H, w // TILE_W)
-    ww = min(WINDOW_W, (ws // 128) * 128) or min(WINDOW_W, ws)
-    wh = min(WINDOW_H, (hs // 8) * 8) or min(WINDOW_H, hs)
-
-    out, valid = pl.pallas_call(
-        _make_project_kernel(ww, wh, c, None),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (N, PARAM_SIZE) table
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # dst position (1, 4)
-            pl.BlockSpec((TILE_H, TILE_W), lambda s, i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_H, TILE_W), lambda s, i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, c, TILE_H, TILE_W), lambda s, i, j: (s, 0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((n, h, w), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((c, wh, ww), src_planar.dtype),
-            pltpu.SemaphoreType.DMA((c,)),
-        ],
-        interpret=interpret,
-    )(
-        jnp.asarray(cam_params, jnp.float32),
-        jnp.pad(jnp.asarray(dst_position, jnp.float32), (0, 1)).reshape(1, 4),
-        disparity_p.astype(jnp.float32),
-        rays_p.astype(jnp.float32),
-        src_planar,
-    )
-    return out[:, :, :h0, :w0], valid[:, :h0, :w0]
 
 
 # ---------------------------------------------------------------------------
@@ -718,6 +532,7 @@ def pack_camera_params_traced(cams) -> jnp.ndarray:
 # cost.combine_top2).
 # ---------------------------------------------------------------------------
 
+HALO = 1  # 3x3 patch radius (Derp.h:26 kSearchWindowRadius)
 K2_TILE_H = 32
 K2_TILE_W = 256
 K2_IN_H = K2_TILE_H + 16   # leading pad 8 + halo 1 -> rows [i*32, i*32+48)
@@ -883,331 +698,3 @@ def ssd_combine(
     return cost[:h0, :w0], conf[:h0, :w0]
 
 
-# ---------------------------------------------------------------------------
-# Kernel v3: the full plane-sweep cost in one launch.
-#
-# v2 still materialized (N, C, H, W) sampled stacks for the XLA-side SSD.
-# v3 loops the sources *inside* the kernel with a running drop-2-worst
-# accumulator and emits only (H, W) cost + confidence tiles: per tile it
-# DMAs halo windows of disparity/rays/dst color from HBM (1-px halo for the
-# 3x3 patch sums; window origins snapped to the (8, 128) tiling), projects
-# and samples every source, forms the bias-compensated SSD in VMEM, and
-# keeps the two worst biased SSDs + totals in registers (Derp.cpp:203-225).
-# Border pixels use clamped (not reflect-101) halos: a 1-px deviation band
-# at image edges relative to the XLA path.
-# ---------------------------------------------------------------------------
-
-HALO = 1
-V3_TILE_H = 16
-V3_TILE_W = 128
-V3_IN_H = V3_TILE_H + 16   # DMA rows: origin snapped down by up to 8, 8-multiple size
-V3_IN_W = V3_TILE_W + 256  # DMA cols: origin snapped down by up to 128
-
-
-def _make_cost_kernel(ww: int, wh: int, c: int, n_src: int,
-                      min_keep: int, flt_max: float, min_var: float, precision=None):
-    precision = MATMUL_PRECISION if precision is None else precision
-    pi = float(np.pi)
-    th, tw = V3_TILE_H, V3_TILE_W
-    ih, iw = V3_IN_H, V3_IN_W
-    ph, pw = th + 2 * HALO, tw + 2 * HALO  # region needing samples
-    p = ph * pw
-
-    def _kernel(params_ref, dstpos_ref, exclude_ref, disp_hbm, rays_hbm, dst_hbm,
-                src_ref, var_ref, cost_ref, conf_ref,
-                in_win_ref, win_ref, sc_ref, in_sem, sems):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        hs, ws = src_ref.shape[2], src_ref.shape[3]
-        hp, wp = disp_hbm.shape  # padded full map
-
-        # inputs carry an aligned leading pad of (8, 128): tile (i, j)'s
-        # data begins at (8 + i*th, 128 + j*tw), so the halo window starts
-        # at the aligned (i*th, j*tw) and the local halo offset is constant
-        row0 = pl.multiple_of(i * th, 8)
-        col0 = pl.multiple_of(j * tw, 128)
-
-        # 5 input planes: disparity, rays xyz, then dst color (c planes)
-        cps = []
-        for k, hbm in enumerate([disp_hbm]):
-            cps.append(pltpu.make_async_copy(
-                hbm.at[pl.ds(row0, ih), pl.ds(col0, iw)], in_win_ref.at[k], in_sem.at[k]))
-        for k in range(3):
-            cps.append(pltpu.make_async_copy(
-                rays_hbm.at[k, pl.ds(row0, ih), pl.ds(col0, iw)],
-                in_win_ref.at[1 + k], in_sem.at[1 + k]))
-        for k in range(c):
-            cps.append(pltpu.make_async_copy(
-                dst_hbm.at[k, pl.ds(row0, ih), pl.ds(col0, iw)],
-                in_win_ref.at[4 + k], in_sem.at[4 + k]))
-        for cp in cps:
-            cp.start()
-        for cp in cps:
-            cp.wait()
-
-        # constant local origin of the (ph, pw) sample region: the leading
-        # pad is (8, 128), the halo is 1 -> (7, 127); static VMEM slices
-        def plane(k):
-            return in_win_ref[k, 8 - HALO : 8 - HALO + ph, 128 - HALO : 128 - HALO + pw]
-
-        disp = plane(0)
-        depth = 1.0 / jnp.maximum(disp, 1e-12)
-        wx_ = dstpos_ref[0, 0] + plane(1) * depth
-        wy_ = dstpos_ref[0, 1] + plane(2) * depth
-        wz_ = dstpos_ref[0, 2] + plane(3) * depth
-        dst_c = [plane(4 + k) for k in range(c)]
-
-        n_patch = jnp.float32((2 * HALO + 1) ** 2)
-
-        neg = jnp.float32(-flt_max)
-        b1 = jnp.full((th, tw), neg)
-        u1 = jnp.zeros((th, tw), jnp.float32)
-        b2 = jnp.full((th, tw), neg)
-        u2 = jnp.zeros((th, tw), jnp.float32)
-        total_u = jnp.zeros((th, tw), jnp.float32)
-        count = jnp.zeros((th, tw), jnp.float32)
-
-        def src_step(s, carry):
-            b1, u1, b2, u2, total_u, count = carry
-
-            def P(idx):
-                return params_ref[s, idx]
-
-            ox_, oy_, oz_ = wx_ - P(PARAM_POS), wy_ - P(PARAM_POS + 1), wz_ - P(PARAM_POS + 2)
-            r = PARAM_ROT
-            vx = P(r + 0) * ox_ + P(r + 1) * oy_ + P(r + 2) * oz_
-            vy = P(r + 3) * ox_ + P(r + 4) * oy_ + P(r + 5) * oz_
-            vz = P(r + 6) * ox_ + P(r + 7) * oy_ + P(r + 8) * oz_
-            xy_sq = vx * vx + vy * vy
-            xy_norm = jnp.sqrt(xy_sq)
-            full_sq = xy_sq + vz * vz
-            full_safe = jnp.maximum(jnp.sqrt(full_sq), jnp.float32(1.1754944e-38))
-            xy_safe = jnp.maximum(xy_norm, jnp.float32(1.1754944e-38))
-            tc = P(PARAM_TYPE)
-            r_ftheta = _atan2_nonneg(xy_norm, -vz)
-            r_rect = jnp.where(-vz > 0, xy_norm / jnp.where(-vz > 0, -vz, 1.0),
-                               jnp.tan(jnp.float32(pi / 2)))
-            r_equi = 2.0 * jnp.sqrt(jnp.maximum((1.0 + vz / full_safe) / 2.0, 0.0))
-            rr = jnp.where(tc == 0.0, r_ftheta, jnp.where(tc == 1.0, r_rect, r_equi))
-            d0, d1, d2 = P(PARAM_DIST), P(PARAM_DIST + 1), P(PARAM_DIST + 2)
-            rcl = jnp.minimum(rr, P(PARAM_DIST_MAX))
-            s2 = rcl * rcl
-            dist_std = (1.0 + s2 * (d0 + s2 * (d1 + s2 * d2))) * rcl
-            sx_std = dist_std / xy_safe * vx
-            sy_std = dist_std / xy_safe * vy
-            pre_den = jnp.where(vz < 0, full_safe, xy_safe)
-            px_, py_ = vx / pre_den, vy / pre_den
-            pre_sq = px_ * px_ + py_ * py_
-            f_o = 1.0 + pre_sq * (d0 + pre_sq * (d1 + pre_sq * d2))
-            sx = jnp.where(tc == 3.0, f_o * px_, sx_std)
-            sy = jnp.where(tc == 3.0, f_o * py_, sy_std)
-            pix_x = P(PARAM_FOCAL) * sx + P(PARAM_PRINCIPAL)
-            pix_y = P(PARAM_FOCAL + 1) * sy + P(PARAM_PRINCIPAL + 1)
-            cf = P(PARAM_COS_FOV)
-            dot = -vz
-            outside_fov = (dot * jnp.abs(dot) <= cf * jnp.abs(cf) * full_sq) & (cf != -1.0)
-            res_x, res_y = P(PARAM_RES), P(PARAM_RES + 1)
-            inside = (pix_x >= 0) & (pix_x < res_x) & (pix_y >= 0) & (pix_y < res_y)
-            xt = pix_x / res_x * ws - 0.5
-            yt = pix_y / res_y * hs - 0.5
-            finite = jnp.isfinite(xt) & jnp.isfinite(yt)
-            ok0 = finite & inside & ~outside_fov & (disp > 0) & (exclude_ref[0, 0] != s)
-            xt = jnp.clip(jnp.where(finite, xt, 0.0), 0.0, ws - 1.0)
-            yt = jnp.clip(jnp.where(finite, yt, 0.0), 0.0, hs - 1.0)
-
-            sox = jnp.clip(jnp.min(xt).astype(jnp.int32) // 128, 0, max((ws - ww) // 128, 0)) * 128
-            soy = jnp.clip(jnp.min(yt).astype(jnp.int32) // 8, 0, max((hs - wh) // 8, 0)) * 8
-            sox = pl.multiple_of(sox, 128)
-            soy = pl.multiple_of(soy, 8)
-            scps = [
-                pltpu.make_async_copy(
-                    src_ref.at[s, ci, pl.ds(soy, wh), pl.ds(sox, ww)],
-                    win_ref.at[ci], sems.at[ci])
-                for ci in range(c)
-            ]
-            for cp in scps:
-                cp.start()
-
-            in_win = (xt >= sox) & (xt <= sox + (ww - 1.0)) & (yt >= soy) & (yt <= soy + (wh - 1.0))
-            okp = ok0 & in_win  # (ph, pw) halo region
-            okf = okp.astype(jnp.float32)
-
-            # the (ph, pw) = (18, 130) halo region cannot reshape to hat rows
-            # (Mosaic rejects unaligned shape casts), so sample it piecewise:
-            # the aligned (th, tw) core plus the 4 ring strips, each as its
-            # own hat matmul, and paste results into the (18, 130) corner of
-            # an aligned scratch for the shifted-add box sums.
-            # pieces: (row slice, col slice, to-column, from-column)
-            pieces = [
-                ((1, 1 + th), (1, 1 + tw),
-                 lambda a: a.reshape(1, th * tw).T,
-                 lambda v: v.T.reshape(th, tw)),
-                ((0, 1), (0, pw), lambda a: a.T, lambda v: v.T),           # top
-                ((ph - 1, ph), (0, pw), lambda a: a.T, lambda v: v.T),     # bottom
-                ((1, 1 + th), (0, 1), lambda a: a, lambda v: v),           # left
-                ((1, 1 + th), (pw - 1, pw), lambda a: a, lambda v: v),     # right
-            ]
-            lx_all = jnp.clip(xt - sox.astype(jnp.float32), 0.0, ww - 1.0)
-            ly_all = jnp.clip(yt - soy.astype(jnp.float32), 0.0, wh - 1.0)
-
-            piece_w = []
-            for (r0, r1), (c0, c1), to_col, _ in pieces:
-                lx = to_col(lx_all[r0:r1, c0:c1])
-                lyy = to_col(ly_all[r0:r1, c0:c1])
-                np_rows = lx.shape[0]
-                jxx = jax.lax.broadcasted_iota(jnp.int32, (np_rows, ww), 1).astype(jnp.float32)
-                wxm = jnp.maximum(1.0 - jnp.abs(lx - jxx), 0.0)
-                jyy = jax.lax.broadcasted_iota(jnp.int32, (np_rows, wh), 1).astype(jnp.float32)
-                wym = jnp.maximum(1.0 - jnp.abs(lyy - jyy), 0.0)
-                piece_w.append((wxm, wym))
-
-            # scratch planes: ok, d2, diff per channel — pasted halo regions
-            sc_ref[...] = jnp.zeros(sc_ref.shape, sc_ref.dtype)
-            sc_ref[0, 0:ph, 0:pw] = okf
-            d2sum = jnp.zeros((ph, pw), jnp.float32)
-            for ci, cp in enumerate(scps):
-                cp.wait()
-                win = win_ref[ci].astype(jnp.float32)
-                for k, ((r0, r1), (c0, c1), _, from_col) in enumerate(pieces):
-                    wxm, wym = piece_w[k]
-                    tmp = jax.lax.dot_general(
-                        wxm, win, (((1,), (1,)), ((), ())),
-                        precision=precision, preferred_element_type=jnp.float32,
-                    )
-                    samp = from_col(jnp.sum(tmp * wym, axis=1, keepdims=True))
-                    diff = (dst_c[ci][r0:r1, c0:c1] - samp) * okf[r0:r1, c0:c1]
-                    sc_ref[2 + ci, r0:r1, c0:c1] = diff
-
-            for ci in range(c):
-                dfull = sc_ref[2 + ci, 0:ph, 0:pw]
-                d2sum = d2sum + dfull * dfull
-            sc_ref[1, 0:ph, 0:pw] = d2sum
-
-            def boxs(plane_idx):
-                acc = None
-                for dy in range(2 * HALO + 1):
-                    for dx in range(2 * HALO + 1):
-                        t = sc_ref[plane_idx, dy:dy + th, dx:dx + tw]
-                        acc = t if acc is None else acc + t
-                return acc
-
-            cnt = boxs(0)
-            cnt_safe = jnp.maximum(cnt, 1.0)
-            scale = n_patch / cnt_safe
-            biased = boxs(1) * scale
-            md_sq = jnp.zeros((th, tw), jnp.float32)
-            for ci in range(c):
-                md = boxs(2 + ci) / cnt_safe
-                md_sq = md_sq + md * md
-            unbiased = jnp.maximum(biased - n_patch * md_sq, 0.0)
-
-            v = okp[HALO:HALO + th, HALO:HALO + tw]
-            b = jnp.where(v, biased, neg)
-            u = jnp.where(v, unbiased, 0.0)
-            is1 = b > b1
-            nb1 = jnp.where(is1, b, b1)
-            nu1 = jnp.where(is1, u, u1)
-            b_dem = jnp.where(is1, b1, b)
-            u_dem = jnp.where(is1, u1, u)
-            is2 = b_dem > b2
-            nb2 = jnp.where(is2, b_dem, b2)
-            nu2 = jnp.where(is2, u_dem, u2)
-            return (nb1, nu1, nb2, nu2, total_u + u, count + v.astype(jnp.float32))
-
-        carry = (b1, u1, b2, u2, total_u, count)
-        carry = jax.lax.fori_loop(0, n_src, src_step, carry)
-        b1, u1, b2, u2, total_u, count = carry
-
-        keep = jnp.clip(jnp.maximum(count - 2.0, float(min_keep)), 1.0, float(n_src))
-        drop = count - keep
-        cost_sum = total_u - jnp.where(drop >= 1.0, u1, 0.0) - jnp.where(drop >= 2.0, u2, 0.0)
-        confidence = jnp.maximum(var_ref[...], min_var)
-        cost = cost_sum / (keep * keep) / confidence
-        enough = count >= float(min_keep)
-        cost_ref[...] = jnp.where(enough, cost, jnp.float32(flt_max))
-        conf_ref[...] = jnp.where(enough, confidence, 0.0)
-
-    return _kernel
-
-
-@functools.partial(jax.jit, static_argnames=("interpret", "min_keep", "flt_max", "min_var"))
-def plane_sweep_cost(
-    src_planar: jnp.ndarray,   # (N, C, H_s, W_s)
-    cam_params: jnp.ndarray,   # (N, PARAM_SIZE)
-    dst_position: jnp.ndarray, # (3,)
-    exclude_idx,               # () int: dst's own index among sources
-    disparity: jnp.ndarray,    # (H, W)
-    rays: jnp.ndarray,         # (3, H, W)
-    dst_planar: jnp.ndarray,   # (C, H, W)
-    variance: jnp.ndarray,     # (H, W)
-    min_keep: int,
-    flt_max: float = 3.4028235e38,
-    min_var: float = 1.0 / 12.0 / 65025.0,
-    interpret: bool | None = None,
-):
-    """Full bias-compensated, drop-2-worst plane-sweep cost in one Pallas
-    launch (Derp.cpp:104-226 + 203-225). Returns (cost, confidence) (H, W)."""
-    if interpret is None:
-        interpret = _default_interpret()
-    n, c, hs, ws = src_planar.shape
-    h0, w0 = disparity.shape
-    th, tw = V3_TILE_H, V3_TILE_W
-    # aligned leading pad (8, 128) + trailing pad so every halo DMA fits
-    grid = ((h0 + th - 1) // th, (w0 + tw - 1) // tw)
-    tpad_r = grid[0] * th + 16 - 8 - h0
-    tpad_c = grid[1] * tw + 256 - 128 - w0
-    pad2 = lambda a: jnp.pad(  # noqa: E731
-        a, [(0, 0)] * (a.ndim - 2) + [(8, tpad_r), (128, tpad_c)], mode="edge"
-    )
-    disp_p = pad2(jnp.asarray(disparity, jnp.float32))
-    rays_p = pad2(jnp.asarray(rays, jnp.float32))
-    dst_p = pad2(jnp.asarray(dst_planar, jnp.float32))
-    # variance feeds the blocked output grid: pad trailing only
-    var_p = jnp.pad(
-        jnp.asarray(variance, jnp.float32),
-        [(0, grid[0] * th - h0), (0, grid[1] * tw - w0)], mode="edge",
-    )
-    hp, wp = disp_p.shape
-    ww = min(WINDOW_W, (ws // 128) * 128) or min(WINDOW_W, ws)
-    wh = min(WINDOW_H, (hs // 8) * 8) or min(WINDOW_H, hs)
-
-    cost, conf = pl.pallas_call(
-        _make_cost_kernel(ww, wh, c, n, min_keep, flt_max, min_var),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam params (N, PARAM_SIZE)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # dst position (1, 4)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # exclude idx (1, 1)
-            pl.BlockSpec(memory_space=pl.ANY),      # disparity (hp, wp)
-            pl.BlockSpec(memory_space=pl.ANY),      # rays (3, hp, wp)
-            pl.BlockSpec(memory_space=pl.ANY),      # dst color (C, hp, wp)
-            pl.BlockSpec(memory_space=pl.ANY),      # src stack
-            pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),  # variance
-        ],
-        out_specs=(
-            pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((grid[0] * th, grid[1] * tw), jnp.float32),
-            jax.ShapeDtypeStruct((grid[0] * th, grid[1] * tw), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((4 + c, V3_IN_H, V3_IN_W), jnp.float32),
-            pltpu.VMEM((c, wh, ww), src_planar.dtype),
-            pltpu.VMEM((2 + c, V3_TILE_H + 8, V3_TILE_W + 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4 + c,)),
-            pltpu.SemaphoreType.DMA((c,)),
-        ],
-        interpret=interpret,
-    )(
-        jnp.asarray(cam_params, jnp.float32),
-        jnp.pad(jnp.asarray(dst_position, jnp.float32), (0, 1)).reshape(1, 4),
-        jnp.asarray(exclude_idx, jnp.int32).reshape(1, 1),
-        disp_p,
-        rays_p,
-        dst_p,
-        src_planar,
-        var_p,
-    )
-    return cost[:h0, :w0], conf[:h0, :w0]

@@ -127,38 +127,3 @@ def test_solver_cost_matches_gather_path():
     err_ref = np.abs(d_ref[ok] - gt_np[ok]) / gt_np[ok]
     err_pal = np.abs(d_pal[ok] - gt_np[ok]) / gt_np[ok]
     assert abs(np.median(err_pal) - np.median(err_ref)) < 0.01
-
-
-def test_fused_cost_kernel_v3_interpret():
-    """Experimental fully-fused cost kernel (plane_sweep_cost) vs the active
-    path, interpret mode. Gated off on real TPUs (NOTES_ROUND2.md)."""
-    from facebook360_dep_tpu.core import camera as cam
-    from facebook360_dep_tpu.depth import pipeline, solver
-    from facebook360_dep_tpu.ops import cost as cost_ops
-    from facebook360_dep_tpu.render import synthetic
-
-    size = (128, 96)
-    rig = synthetic.make_test_rig(num_cameras=4, resolution=size, ring_radius=0.1)
-    nrig = cam.normalize_rig(rig)
-    colors, gt = synthetic.render_sphere_scene(rig, size, radius=5.0)
-    fov = pipeline.generate_fov_masks(nrig, colors.shape[1:3])
-    ctx = solver.make_level_context(nrig, nrig, colors, fov, use_pallas_sampler=True)
-    cctx = solver._cost_ctx(ctx, 0)
-    disp = jnp.asarray(gt[0])
-
-    c_v2, _ = cost_ops.cost_for_disparity(cctx, disp)
-    try:
-        cost_ops.USE_FUSED_COST_KERNEL = True
-        c_v3, _ = cost_ops.cost_for_disparity(cctx, disp)
-    finally:
-        cost_ops.USE_FUSED_COST_KERNEL = False
-    c_v2, c_v3 = np.asarray(c_v2), np.asarray(c_v3)
-    both = np.isfinite(c_v2) & np.isfinite(c_v3) & (c_v2 < 1e30) & (c_v3 < 1e30)
-    assert both.mean() > 0.5, both.mean()
-    # interior pixels agree (v3 uses clamped instead of reflect-101 halos at
-    # image borders)
-    inner = np.zeros_like(both)
-    inner[8:-8, 8:-8] = True
-    sel = both & inner
-    rel = np.abs(c_v3[sel] - c_v2[sel]) / (1.0 + np.abs(c_v2[sel]))
-    assert np.median(rel) < 0.02, np.median(rel)
