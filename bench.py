@@ -1,25 +1,28 @@
-"""Benchmark: seconds per 2K-equirect depth map per chip (BASELINE.md metric).
+"""Benchmark: seconds per 2K depth map per chip (BASELINE.md metric), over
+all five BASELINE.json configs.
 
-Times the flagship fine-level solve — random proposals + ping-pong + bilateral
-+ median over a 16-camera rig at 2048x1536 — which is where the reference
-spends >95% of its per-frame CPU time (SURVEY.md §3.1), plus a coarsest-level
-150-hypothesis brute-force sweep. Prints ONE JSON line on stdout (progress on
-stderr).
+Headline value = the FULL coarse-to-fine pyramid (reference widths 2048..50,
+scripts/render/config.py:46) solved from brute-force init at the coarsest
+level — no ground-truth shortcut — plus the amortized cross-camera mismatch
+stage (BASELINE config 2). Also timed: the coarse-level-only config (config
+1, both at the true coarsest level and as a 150-hypothesis sweep at 2K),
+the foreground/background split path (config 3), the 30-frame temporal
+bilateral filter (config 4), and the end-to-end publish path — depth +
+ConvertToBinary + fusion striping (config 5). Quality: end-to-end disparity
+rel RMSE vs synthetic ground truth and rephotography MSSIM at 2K.
 
-All fixtures are generated on-device (render_sphere_scene(as_numpy=False));
-host<->device transfers of 2K 16-camera stacks would otherwise dominate.
-The fine solve runs BENCH_DST destination cameras against all 16 sources and
-reports per-map seconds — per-map cost is independent of the dst count (the
-solver lax.maps over destinations).
+Prints ONE JSON line on stdout (progress on stderr). Fixtures are generated
+on-device; the axon tunnel memoizes identical executions, so every timed
+call is warmed with a perturbed input first and timed with the real one.
 
 vs_baseline uses an estimated reference CPU cost of 30 s per 2K map (the
 reference publishes no wall-clock numbers — BASELINE.md; 30 s/map is a
-deliberately conservative floor for ~12 full-image cost evaluations x 15 src
-cameras x 3.1 MPx patch-SSD on a multicore CPU, each eval being ~5e9 scalar
-ops in the reference's per-pixel loop).
+deliberately conservative floor for ~12 full-image cost evaluations x 15
+src cameras x 3.1 MPx patch-SSD on a multicore CPU).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -28,84 +31,248 @@ import numpy as np
 REFERENCE_SECONDS_PER_MAP_CPU = 30.0  # estimate; see module docstring
 
 NUM_CAMERAS = 16
-BENCH_DST = 2  # destination maps actually solved (metric is per map)
-FINE_SIZE = (2048, 1536)  # (W, H)
-COARSE_SIZE = (64, 48)
+BENCH_DST = 2  # destination maps solved in the pyramid (metric is per map)
+# the reference pyramid (scripts/render/config.py:46), 4:3 aspect
+WIDTHS = [2048, 1024, 512, 256, 200, 128, 100, 80, 60, 50]
+TEMPORAL_FRAMES = 30
+TIME_RADIUS = 2  # TemporalBilateralFilter.cpp default
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def hw(width):
+    return (3 * width + 2) // 4  # 1536 at 2048
+
+
 def main():
+    t_start = time.perf_counter()
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
 
     from facebook360_dep_tpu.core import camera as cam
     from facebook360_dep_tpu.depth import pipeline, solver
-    from facebook360_dep_tpu.render import synthetic
+    from facebook360_dep_tpu.ops import filters
+    from facebook360_dep_tpu.render import rephoto, synthetic
 
-    t_start = time.perf_counter()
-    rig = synthetic.make_test_rig(num_cameras=NUM_CAMERAS, resolution=FINE_SIZE, ring_radius=0.3)
+    def elapsed():
+        return f"[{time.perf_counter() - t_start:.0f}s]"
+
+    rig = synthetic.make_test_rig(
+        num_cameras=NUM_CAMERAS, resolution=(WIDTHS[0], hw(WIDTHS[0])), ring_radius=0.3
+    )
     nrig = cam.normalize_rig(rig)
-    dst_rig = cam.Rig(
-        cameras=jax.tree.map(lambda a: a[:BENCH_DST], nrig.cameras),
-        ids=nrig.ids[:BENCH_DST],
-        groups=nrig.groups[:BENCH_DST],
+
+    def take_dst(d):
+        return cam.Rig(
+            cameras=jax.tree.map(lambda a: a[:d], nrig.cameras),
+            ids=nrig.ids[:d],
+            groups=nrig.groups[:d],
+        )
+
+    dst_rig = take_dst(BENCH_DST)
+    colors_2k, gt_2k = synthetic.render_sphere_scene(
+        rig, (WIDTHS[0], hw(WIDTHS[0])), radius=5.0, as_numpy=False
+    )
+    colors_2k = jax.block_until_ready(colors_2k)
+    log(f"{elapsed()} fixtures rendered")
+
+    def build_ctx(w, rig_dst, colors, **kw):
+        h = colors.shape[1]
+        fov = pipeline.generate_fov_masks(rig_dst, (h, w))
+        return solver.make_level_context(
+            nrig, rig_dst, colors, fov, use_pallas_sampler=w >= 512,
+            full_height=hw(WIDTHS[0]), **kw
+        )
+
+    def timed(fn, warm_args, real_args):
+        """Run fn(warm) to compile+warm (the tunnel memoizes identical
+        executions), then time fn(real)."""
+        jax.block_until_ready(fn(*warm_args))
+        t0 = time.perf_counter()
+        out = fn(*real_args)
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0, out
+
+    resize = jax.jit(
+        lambda imgs, h, w: jax.image.resize(imgs, (imgs.shape[0], h, w, imgs.shape[3]), "linear"),
+        static_argnames=("h", "w"),
+    )
+    upsample_disp = jax.jit(
+        lambda d, h, w: jax.image.resize(
+            jnp.nan_to_num(d, nan=1e-4), (d.shape[0], h, w), "linear"
+        ),
+        static_argnames=("h", "w"),
     )
 
-    # --- coarsest level: brute force over 150 hypotheses -------------------
-    colors_c, gt_c = synthetic.render_sphere_scene(rig, COARSE_SIZE, radius=5.0, as_numpy=False)
-    fov_c = pipeline.generate_fov_masks(nrig, (COARSE_SIZE[1], COARSE_SIZE[0]))
-    ctx_c = solver.make_level_context(nrig, nrig, colors_c, fov_c)
-    cfg_c = solver.SolverConfig(min_depth=1.0, max_depth=100.0, level=1, num_levels=2)
-    jax.block_until_ready(solver.brute_force_all(ctx_c, cfg_c))  # compile
-    log(f"[{time.perf_counter()-t_start:.0f}s] coarse compiled")
-    t0 = time.perf_counter()
-    disp_c, _, _ = solver.brute_force_all(ctx_c, cfg_c)
-    jax.block_until_ready(disp_c)
-    coarse_s = time.perf_counter() - t0
-    log(f"[{time.perf_counter()-t_start:.0f}s] coarse 150-sweep x{NUM_CAMERAS} maps: {coarse_s:.2f}s")
+    # --- config 2 (headline): full coarse-to-fine pyramid, 10 levels --------
+    num_levels = len(WIDTHS)
+    level_times = {}
+    disp = None
+    pyramid_s = 0.0
+    coarsest_s = None
+    for level in range(num_levels - 1, -1, -1):
+        w = WIDTHS[level]
+        h = hw(w)
+        colors_l = colors_2k if level == 0 else resize(colors_2k, h, w)
+        ctx = build_ctx(w, dst_rig, colors_l)
+        cfg = solver.SolverConfig(
+            min_depth=1.0, max_depth=100.0, level=level, num_levels=num_levels,
+            num_random_proposals=2, ping_pong_iterations=1,
+        )
+        if level == num_levels - 1:
+            fn = lambda c: solver.process_level(c, cfg)  # noqa: E731
+            warm_ctx = ctx._replace(src_variance=ctx.src_variance * (1.0 + 1e-6))
+            t, out = timed(fn, (warm_ctx,), (ctx,))
+            coarsest_s = t
+        else:
+            init = upsample_disp(disp, h, w)
+            fn = lambda c, i: solver.process_level(c, cfg, init_disparity=i)  # noqa: E731
+            t, out = timed(fn, (ctx, init * 1.01), (ctx, init))
+        disp = out["disparity"]
+        pyramid_s += t
+        level_times[w] = round(t, 4)
+        log(f"{elapsed()} level {level} ({w}x{h}): {t:.3f}s for {BENCH_DST} maps")
+    pyramid_s_per_map = pyramid_s / BENCH_DST
 
-    # --- fine level: full refinement at 2K ---------------------------------
-    colors_f, gt_f = synthetic.render_sphere_scene(rig, FINE_SIZE, radius=5.0, as_numpy=False)
-    fov_f = pipeline.generate_fov_masks(dst_rig, (FINE_SIZE[1], FINE_SIZE[0]))
-    ctx_f = solver.make_level_context(nrig, dst_rig, colors_f, fov_f, use_pallas_sampler=True)
-    cfg_f = solver.SolverConfig(
-        min_depth=1.0, max_depth=100.0, level=0, num_levels=2,
-        num_random_proposals=2, ping_pong_iterations=1,
+    disp_np = np.asarray(disp)
+    gt_np = np.asarray(gt_2k[:BENCH_DST])
+    valid = np.isfinite(disp_np)
+    rel_rmse = float(
+        np.sqrt(np.mean((disp_np[valid] - gt_np[valid]) ** 2)) / np.mean(gt_np[valid])
     )
-    key = jax.random.PRNGKey(0)
-    gt_dst = gt_f[:BENCH_DST]
-    init = gt_dst * (1.0 + 0.1 * jax.random.normal(key, gt_dst.shape, gt_dst.dtype))
-    log(f"[{time.perf_counter()-t_start:.0f}s] fine fixtures ready; compiling")
-    out = solver.process_level(ctx_f, cfg_f, init_disparity=init)  # compile
-    jax.block_until_ready(out)
-    log(f"[{time.perf_counter()-t_start:.0f}s] fine compiled")
+    log(f"{elapsed()} pyramid {pyramid_s_per_map:.3f}s/map, rel RMSE {rel_rmse:.4f}")
+
+    # rephotography MSSIM at 2K: re-render dst 0 from the other sources at the
+    # solved disparity (ComputeRephotographyErrors equivalent)
+    from facebook360_dep_tpu.ops import warp_pallas
+
+    @jax.jit
+    def rephoto_mssim(ctx, disparity):
+        params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
+        rays_planar = jnp.moveaxis(ctx.dst_rays[0], -1, 0)
+        sampled, k_valid = warp_pallas.project_sample_planar_v4(
+            ctx.src_imgs_t, params, jax.tree.map(lambda a: a[0], ctx.dst_cams).position,
+            disparity, rays_planar,
+        )
+        k_valid = k_valid.at[ctx.dst2src[0]].set(0.0)
+        wsum = jnp.maximum(k_valid.sum(0), 1e-6)
+        rerender = jnp.moveaxis((sampled * k_valid[:, None]).sum(0) / wsum, 0, -1)
+        ref_img = ctx.src_imgs[ctx.dst2src[0]][..., :3]
+        score = rephoto.compute_score_map("MSSIM", rerender, ref_img)
+        mask = (k_valid.sum(0) > 0)[..., None] & jnp.isfinite(score)
+        return jnp.where(mask, score, 0.0).sum() / jnp.maximum(mask.sum(), 1)
+
+    ctx_2k = build_ctx(WIDTHS[0], dst_rig, colors_2k)
+    mssim = float(rephoto_mssim(ctx_2k, jnp.nan_to_num(disp[0], nan=1e-4))) * 100.0
+    log(f"{elapsed()} rephoto MSSIM {mssim:.2f}")
+
+    # mismatch stage at 2K needs every camera as a destination
+    # (Derp.cpp:553-748); timed once with the full rig, amortized per map
+    ctx_mm = build_ctx(WIDTHS[0], nrig, colors_2k)
+    cfg_mm = solver.SolverConfig(min_depth=1.0, max_depth=100.0, level=0, num_levels=num_levels)
+    disp_all = jnp.broadcast_to(gt_2k, (NUM_CAMERAS,) + gt_2k.shape[1:]) if gt_2k.shape[0] != NUM_CAMERAS else gt_2k
+    fn_mm = lambda d: solver._jit_mismatches(ctx_mm, cfg_mm, d)  # noqa: E731
+    t_mm, _ = timed(fn_mm, (disp_all * 1.01,), (disp_all,))
+    mismatch_s_per_map = t_mm / NUM_CAMERAS
+    log(f"{elapsed()} mismatch stage: {t_mm:.3f}s for {NUM_CAMERAS} maps")
+
+    headline_s_per_map = pyramid_s_per_map + mismatch_s_per_map
+
+    # --- config 1: coarse-level-only -----------------------------------------
+    # (a) the true coarsest level is timed above (coarsest_s);
+    # (b) a full 150-hypothesis brute-force sweep at 2K, one destination
+    ctx_c1 = build_ctx(WIDTHS[0], take_dst(1), colors_2k)
+    cfg_c1 = solver.SolverConfig(min_depth=1.0, max_depth=100.0, level=0, num_levels=1)
+    fn_bf = lambda c: solver._jit_brute_force(c, cfg_c1)  # noqa: E731
+    warm_c1 = ctx_c1._replace(src_variance=ctx_c1.src_variance * (1.0 + 1e-6))
+    t_coarse2k, _ = timed(fn_bf, (warm_c1,), (ctx_c1,))
+    log(f"{elapsed()} 150-sweep at 2K: {t_coarse2k:.3f}s/map")
+
+    # --- config 3: foreground/background split ------------------------------
+    med = jnp.nanmedian(gt_2k[:BENCH_DST])
+    fg_masks = gt_2k[:BENCH_DST] > med
+    bg_disp = jnp.where(fg_masks, 0.5 * gt_2k[:BENCH_DST], gt_2k[:BENCH_DST])
+    ctx_fg = build_ctx(WIDTHS[0], dst_rig, colors_2k, dst_fg_masks=fg_masks, dst_bg_disp=bg_disp)
+    cfg_fg = solver.SolverConfig(
+        min_depth=1.0, max_depth=100.0, level=0, num_levels=num_levels,
+        num_random_proposals=2, ping_pong_iterations=1, has_fg_masks=True,
+    )
+    init_fg = jnp.asarray(disp_np) if disp_np.shape[0] == BENCH_DST else gt_np
+    init_fg = jnp.nan_to_num(init_fg, nan=1e-4)
+    fn_fg = lambda i: solver.process_level(ctx_fg, cfg_fg, init_disparity=i)  # noqa: E731
+    t_fg, _ = timed(fn_fg, (init_fg * 1.01,), (init_fg,))
+    fgbg_s_per_map = t_fg / BENCH_DST
+    log(f"{elapsed()} fg/bg split level: {fgbg_s_per_map:.3f}s/map")
+
+    # --- config 4: 30-frame temporal bilateral filter ------------------------
+    h2k, w2k = hw(WIDTHS[0]), WIDTHS[0]
+    key = jax.random.PRNGKey(7)
+    tshift = (0.02 * jax.random.normal(key, (2 * TIME_RADIUS + 1, 1, 1))).astype(jnp.float32)
+    guides = jnp.clip(colors_2k[0][None] * (1.0 + tshift[..., None]), 0, 1)
+    disps_t = gt_2k[0][None] * (1.0 + 0.01 * tshift)
+    masks_t = jnp.isfinite(disps_t)
+
+    @jax.jit
+    def one_frame(guides, disps, masks):
+        return filters.temporal_bilateral(
+            guides, disps, masks, frame_offset=TIME_RADIUS, sigma=0.01, spatial_radius=1
+        )
+
+    t_tf, _ = timed(
+        lambda g: one_frame(g, disps_t, masks_t), (guides * 0.999,), (guides,)
+    )
+    log(f"{elapsed()} temporal filter: {t_tf:.3f}s/frame (window {2*TIME_RADIUS+1}, {TEMPORAL_FRAMES}-frame clip = {t_tf*TEMPORAL_FRAMES:.1f}s)")
+
+    # --- config 5: end-to-end publish (depth + ConvertToBinary + fusion) ----
+    import tempfile
+
+    from facebook360_dep_tpu.cli import convert_to_binary as ctb
+    from facebook360_dep_tpu.stream import fusion, mesh, native
+
+    cam0 = jax.tree.map(lambda a: np.asarray(a)[0], nrig.cameras)
+    color0 = np.asarray(jnp.clip(colors_2k[0] * 255, 0, 255)).astype(np.uint8)
+    disp0 = np.nan_to_num(disp_np[0], nan=1e-4).astype(np.float32)
     t0 = time.perf_counter()
-    out = solver.process_level(ctx_f, cfg_f, init_disparity=init)
-    jax.block_until_ready(out)
-    fine_s = time.perf_counter() - t0
-    log(f"[{time.perf_counter()-t_start:.0f}s] fine level x{BENCH_DST} maps: {fine_s:.2f}s")
+    with tempfile.TemporaryDirectory() as tmp:
+        bin_dir = os.path.join(tmp, "bin")
+        vertexes, faces = ctb.convert_depth(cam0, "cam0", disp0, bin_dir)
+        out_dir = os.path.join(bin_dir, "cam0")
+        mesh.write_vtx_idx(
+            os.path.join(out_dir, "000000.vtx"), os.path.join(out_dir, "000000.idx"),
+            vertexes, faces,
+        )
+        rgba = ctb.gamma_correct_to_rgba8(color0.astype(np.float32) / 255.0, 1.0 / 2.2)
+        blocks = native.compress_bc7(rgba)
+        with open(os.path.join(out_dir, "000000.bc7"), "wb") as f:
+            f.write(blocks.tobytes())
+        fusion.fuse_frames(bin_dir, os.path.join(tmp, "fused"), ["cam0"], ["000000"])
+    t_pub = time.perf_counter() - t0
+    log(f"{elapsed()} publish path: {t_pub:.3f}s/frame-camera")
 
-    disp = np.asarray(out["disparity"])
-    gt_np = np.asarray(gt_dst)
-    valid = np.isfinite(disp)
-    rmse = float(np.sqrt(np.mean((disp[valid] - gt_np[valid]) ** 2)))
-    rel_rmse = rmse / float(np.mean(gt_np[valid]))
-
-    secs_per_map = fine_s / BENCH_DST + coarse_s / NUM_CAMERAS
     print(
         json.dumps(
             {
                 "metric": "seconds_per_2k_depth_map_per_chip",
-                "value": round(secs_per_map, 4),
+                "value": round(headline_s_per_map, 4),
                 "unit": "s/map",
-                "vs_baseline": round(REFERENCE_SECONDS_PER_MAP_CPU / secs_per_map, 2),
+                "vs_baseline": round(REFERENCE_SECONDS_PER_MAP_CPU / headline_s_per_map, 2),
                 "detail": {
-                    "fine_level_s_per_map": round(fine_s / BENCH_DST, 4),
-                    "coarse_brute_force_s_per_map": round(coarse_s / NUM_CAMERAS, 4),
-                    "disparity_rel_rmse_vs_synthetic_gt": round(rel_rmse, 6),
-                    "fine_size": list(FINE_SIZE),
+                    "full_pyramid_s_per_map": round(pyramid_s_per_map, 4),
+                    "mismatch_stage_s_per_map": round(mismatch_s_per_map, 4),
+                    "level_times_for_2_maps": level_times,
+                    "disparity_rel_rmse_full_pyramid_vs_gt": round(rel_rmse, 6),
+                    "rephoto_mssim_pct": round(mssim, 2),
+                    "coarsest_level_s_per_map": round(coarsest_s / BENCH_DST, 4),
+                    "coarse_2k_150_sweep_s_per_map": round(t_coarse2k, 4),
+                    "fgbg_split_s_per_map": round(fgbg_s_per_map, 4),
+                    "temporal_filter_s_per_frame": round(t_tf, 4),
+                    "publish_s_per_frame_camera": round(t_pub, 4),
+                    "pyramid_widths": WIDTHS,
                     "num_src_cameras": NUM_CAMERAS,
                 },
             }

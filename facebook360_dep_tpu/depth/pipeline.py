@@ -72,12 +72,23 @@ class DepthEstimatorOptions:
             self.foreground_masks = imagetypes.image_dir(self.input_root, "foreground_masks_levels")
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def _fov_masks(cams, h: int, w: int) -> jnp.ndarray:
+    # the pixel grid is built INSIDE the trace: capturing an eagerly-computed
+    # grid embeds a (H, W, 2) constant in the HLO, which this environment's
+    # remote-compile service uploads at ~0.1 MB/s (minutes per compile at 2K)
+    grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
+    return jax.vmap(lambda c: ~cam.is_outside_image_circle(c, grid))(cams)
+
+
 def generate_fov_masks(rig: cam.Rig, size_hw) -> jnp.ndarray:
     """(D, H, W) bool: inside-image-circle per dst camera (DerpUtil.cpp:259-276)."""
     h, w = size_hw
-    grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
     cams = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else jnp.asarray(a), rig.cameras)
-    return jax.vmap(lambda c: ~cam.is_outside_image_circle(c, grid))(cams)
+    return _fov_masks(cams, int(h), int(w))
 
 
 def upsample_disparity_init(disp: np.ndarray, size_wh) -> np.ndarray:

@@ -313,8 +313,10 @@ def handle_mismatches(ctx: LevelContext, cfg: SolverConfig, disparity, full_disp
         if disp_planar is not None:
             coords_p, (h0, w0) = warp_pallas.pad_to_tiles_nhw(coords)
             smp, k_valid = warp_pallas.warp_sample_planar(disp_planar, coords_p)
-            d_srcs = smp[:, :h0, :w0, 0]
-            all_finite = smp[:, :h0, :w0, 1] > 0.999
+            # smp is channel-planar (N, C, H, W): plane 0 = NaN-filled
+            # disparity, plane 1 = finite-mask
+            d_srcs = smp[:, 0, :h0, :w0]
+            all_finite = smp[:, 1, :h0, :w0] > 0.999
             valids = valid & (k_valid[:, :h0, :w0] > 0.5) & all_finite & jnp.isfinite(d_srcs)
         else:
             d_srcs = jax.vmap(lambda c, i: sampling.bilinear_sample(full_disparity[i], c))(
@@ -385,11 +387,10 @@ def mask_fov(ctx: LevelContext, disparity):
     return jnp.where(ctx.dst_fov_masks, disparity, jnp.nan)
 
 
-# Per-stage jitted entry points. process_level sequences them from the host
-# rather than fusing one giant program: at 2K x 16 cameras the fully-fused
-# level program exceeds what the TPU compiler/runtime handles (each stage
-# compiles and runs fine; the fusion of all of them faults the device), and
-# host sequencing costs only ~6 ms of dispatch per stage.
+# Per-stage jitted entry points (used by debug_sync bisection and the
+# sharded path; the default path is the fused _jit_level below — one
+# program per level, which matters on tunneled devices where every host
+# dispatch costs ~20 ms).
 _jit_brute_force = jax.jit(brute_force_all, static_argnames=("cfg",))
 _jit_random_proposals = jax.jit(random_proposals, static_argnames=("cfg",))
 _jit_ping_pong = jax.jit(ping_pong, static_argnames=("cfg",))
@@ -399,31 +400,77 @@ _jit_median = jax.jit(median_filter, static_argnames=("cfg",))
 _jit_mask_fov = jax.jit(mask_fov)
 
 
+def _level_body(ctx: LevelContext, cfg: SolverConfig, init_disparity, key, use_init: bool):
+    """The complete per-level pipeline as one traceable function."""
+    d = len(ctx.dst2src)
+    h, w = ctx.src_imgs.shape[1:3]
+    coarsest = cfg.level == cfg.num_levels - 1
+
+    if coarsest or not use_init:
+        disparity, costs, confidences = brute_force_all(ctx, cfg)
+    else:
+        disparity = jnp.asarray(init_disparity, jnp.float32)
+        costs = jnp.full((d, h, w), jnp.inf, jnp.float32)
+        confidences = jnp.zeros((d, h, w), jnp.float32)
+
+    mismatch_mask = jnp.zeros((d, h, w), bool)
+    if not coarsest:
+        disparity, costs, confidences = random_proposals(
+            ctx, cfg, disparity, costs, confidences, key
+        )
+        disparity, costs, confidences = ping_pong(ctx, cfg, disparity, costs, confidences)
+        if 0 <= cfg.level <= cfg.mismatches_start_level:
+            disparity, mismatch_mask = handle_mismatches(ctx, cfg, disparity)
+
+    if cfg.do_bilateral_filter:
+        disparity = spatial_bilateral(ctx, cfg, disparity)
+    if cfg.do_median_filter:
+        disparity = median_filter(ctx, cfg, disparity)
+    disparity = mask_fov(ctx, disparity)
+    return {
+        "disparity": disparity,
+        "cost": costs,
+        "confidence": confidences,
+        "mismatches": mismatch_mask,
+    }
+
+
+_jit_level = jax.jit(_level_body, static_argnames=("cfg", "use_init"))
+
+
 def process_level(ctx: LevelContext, cfg: SolverConfig, init_disparity=None, key=None,
                   debug_sync: bool = False):
     """Full per-level pipeline (Derp.cpp:1005-1034). ``init_disparity`` is the
     upsampled coarser-level result (None at the coarsest level).
 
-    Returns dict with disparity/cost/confidence/mismatch-mask maps (D, H, W).
-    With ``debug_sync`` every stage blocks and logs (device-fault bisection).
+    Runs as ONE jitted program per level (host dispatch costs ~20 ms on
+    tunneled devices; the pyramid's small levels would otherwise be
+    dispatch-bound). Returns dict with disparity/cost/confidence/mismatch-
+    mask maps (D, H, W). With ``debug_sync`` the level runs as per-stage
+    programs instead, each blocking and logging (device-fault bisection).
     """
+    d = len(ctx.dst2src)
+    h, w = ctx.src_imgs.shape[1:3]
+    if key is None:
+        key = jax.random.PRNGKey(cfg.level)
+    use_init = init_disparity is not None
+    if init_disparity is None:
+        init_disparity = jnp.zeros((d, h, w), jnp.float32)
+
+    if not debug_sync:
+        return _jit_level(ctx, cfg, init_disparity, key, use_init)
+
     import logging as _logging
 
     _slog = _logging.getLogger("solver")
 
     def _sync(name, val):
-        if debug_sync:
-            jax.block_until_ready(val)
-            _slog.info("stage %s done", name)
+        jax.block_until_ready(val)
+        _slog.info("stage %s done", name)
         return val
 
-    d = len(ctx.dst2src)
-    h, w = ctx.src_imgs.shape[1:3]
     coarsest = cfg.level == cfg.num_levels - 1
-    if key is None:
-        key = jax.random.PRNGKey(cfg.level)
-
-    if coarsest or init_disparity is None:
+    if coarsest or not use_init:
         disparity, costs, confidences = _sync("brute_force", _jit_brute_force(ctx, cfg))
     else:
         disparity = jnp.asarray(init_disparity, jnp.float32)

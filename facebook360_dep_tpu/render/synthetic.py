@@ -9,6 +9,8 @@ uses, producing (color, ground-truth disparity) per camera.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -67,18 +69,27 @@ def render_sphere_scene(rig: cam.Rig, size_wh, radius: float = 5.0, as_numpy: bo
         else jnp.asarray(np.asarray(a)),
         nrig.cameras,
     )
-    grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
 
-    def one(c):
-        d = cam.ray_dir(c, grid)
-        t = ray_sphere_depth(c.position, d, center, radius)
-        hit = c.position + d * t[..., None]
-        tex_dir = hit - jnp.asarray(center, jnp.float32)
-        tex_dir = tex_dir / jnp.linalg.norm(tex_dir, axis=-1, keepdims=True)
-        color = procedural_texture(tex_dir, seed)
-        return color, 1.0 / t
+    @partial(jax.jit, static_argnames=("w", "h", "seed"))
+    def render(cams, center, radius, w, h, seed):
+        # grid built in-trace: an eagerly-captured (H, W, 2) constant makes
+        # the remote-compile payload minutes-slow at 2K (see pipeline._fov_masks)
+        grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
 
-    colors, disparity = jax.jit(jax.vmap(one))(cams)
+        def one(c):
+            d = cam.ray_dir(c, grid)
+            t = ray_sphere_depth(c.position, d, center, radius)
+            hit = c.position + d * t[..., None]
+            tex_dir = hit - center
+            tex_dir = tex_dir / jnp.linalg.norm(tex_dir, axis=-1, keepdims=True)
+            color = procedural_texture(tex_dir, seed)
+            return color, 1.0 / t
+
+        return jax.vmap(one)(cams)
+
+    colors, disparity = render(
+        cams, jnp.asarray(center, jnp.float32), jnp.float32(radius), w, h, seed
+    )
     if as_numpy:
         return np.asarray(colors), np.asarray(disparity)
     return colors, disparity
@@ -140,20 +151,26 @@ def render_box_scene(rig: cam.Rig, size_wh, half_extents=(6.0, 6.0, 3.0), as_num
         else jnp.asarray(np.asarray(a)),
         nrig.cameras,
     )
-    grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
+    @partial(jax.jit, static_argnames=("w", "h", "seed"))
+    def render(cams, center, half_extents, w, h, seed):
+        grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
 
-    def one(c):
-        d = cam.ray_dir(c, grid)
-        t = ray_box_depth(c.position, d, half_extents, center)
-        hit = c.position + d * t[..., None]
-        # texture by position on the box surface (normalized direction from
-        # the center gives seams at edges only)
-        tex_dir = hit - jnp.asarray(center, jnp.float32)
-        tex_dir = tex_dir / jnp.maximum(jnp.linalg.norm(tex_dir, axis=-1, keepdims=True), 1e-9)
-        color = procedural_texture(tex_dir, seed, octaves=7)
-        return color, 1.0 / t
+        def one(c):
+            d = cam.ray_dir(c, grid)
+            t = ray_box_depth(c.position, d, half_extents, center)
+            hit = c.position + d * t[..., None]
+            # texture by position on the box surface (normalized direction
+            # from the center gives seams at edges only)
+            tex_dir = hit - center
+            tex_dir = tex_dir / jnp.maximum(jnp.linalg.norm(tex_dir, axis=-1, keepdims=True), 1e-9)
+            color = procedural_texture(tex_dir, seed, octaves=7)
+            return color, 1.0 / t
 
-    colors, disparity = jax.jit(jax.vmap(one))(cams)
+        return jax.vmap(one)(cams)
+
+    colors, disparity = render(
+        cams, jnp.asarray(center, jnp.float32), jnp.asarray(half_extents, jnp.float32), w, h, seed
+    )
     if as_numpy:
         return np.asarray(colors), np.asarray(disparity)
     return colors, disparity

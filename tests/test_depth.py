@@ -92,6 +92,33 @@ def test_mismatch_handling_runs(scene):
     assert blob_err_after < blob_err_before
 
 
+def test_mismatch_pallas_path_matches_gather_path(scene):
+    """The Pallas disparity-sampling branch of handle_mismatches must agree
+    with the XLA gather branch (regression: the sampled stack is
+    channel-planar (N, C, H, W); indexing it NHWC-style silently broke the
+    branch until exercised at bench scale)."""
+    rig, colors, gt_disp = scene
+    nrig = cam.normalize_rig(rig)
+    fov = pipeline.generate_fov_masks(nrig, colors.shape[1:3])
+    ctx_g = solver.make_level_context(nrig, nrig, colors, fov)
+    ctx_p = solver.make_level_context(nrig, nrig, colors, fov, use_pallas_sampler=True)
+    cfg = solver.SolverConfig(min_depth=1.0, max_depth=100.0, level=0, num_levels=2,
+                              mismatches_start_level=0)
+    bad = gt_disp.copy()
+    bad[0, 10:20, 10:20] *= 3.0
+    d_g, m_g = solver.handle_mismatches(ctx_g, cfg, bad)
+    d_p, m_p = solver.handle_mismatches(ctx_p, cfg, bad)
+    d_g, d_p = np.asarray(d_g), np.asarray(d_p)
+    m_g, m_p = np.asarray(m_g), np.asarray(m_p)
+    # the paths differ only at src-FOV-edge pixels (windowed sampler flags
+    # them invalid); interior replacements must match
+    inner = np.zeros(m_g.shape, bool)
+    inner[:, 4:-4, 4:-4] = True
+    assert (m_g == m_p)[inner].mean() > 0.98
+    agree = inner & (m_g == m_p)
+    np.testing.assert_allclose(d_p[agree], d_g[agree], rtol=2e-2, atol=1e-4)
+
+
 def test_fov_masks_shape(scene):
     rig, colors, _ = scene
     nrig = cam.normalize_rig(rig)
