@@ -211,6 +211,64 @@ class DepthEstimator:
                 os.makedirs(os.path.dirname(path), exist_ok=True)
                 io.write_disparity(path, disp[i])
 
+    def save_debug_images(self, level, frame, result, fov_masks):
+        """Per-dst cost/confidence/mismatch-overlay/disparity debug PNGs
+        (PyramidLevel.h:418-461 saveDebugImages; scales DerpUtil.h:23-25)."""
+        import cv2
+
+        disp = np.asarray(result["disparity"], np.float32)
+        cost = np.asarray(result["cost"], np.float32)
+        conf = np.asarray(result["confidence"], np.float32)
+        mism = np.asarray(result["mismatches"], bool)
+        fov = np.asarray(fov_masks, bool)
+        for i, cam_id in enumerate(self.rig_dst.ids):
+            def path(image_type):
+                p = imagetypes.gen_filename(self.opts.output_root, image_type, level, cam_id, frame, "png")
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                return p
+
+            # disparity: clamp [0,1] -> PNG16, NaN -> 0 (PyramidLevel.h:442-445)
+            d16 = np.nan_to_num(np.clip(disp[i], 0.0, 1.0)) * 65535.0
+            cv2.imwrite(path("disparity_levels"), d16.astype(np.uint16))
+            # cost x 255/100, confidence x 255*100 -> PNG8
+            c8 = np.clip(np.nan_to_num(cost[i].astype(np.float64)) * (255.0 / 100.0), 0, 255)
+            cv2.imwrite(path("cost"), c8.astype(np.uint8))
+            f8 = np.clip(np.nan_to_num(conf[i].astype(np.float64)) * (255.0 * 100.0), 0, 255)
+            cv2.imwrite(path("confidence"), f8.astype(np.uint8))
+            # mismatch overlay: red where mismatched, gray disparity elsewhere,
+            # transparent black outside FOV (overlayMismatchedDstDisparityMask)
+            g = np.clip(np.nan_to_num(disp[i]), 0.0, 1.0) * 255.0
+            bgra = np.zeros(disp[i].shape + (4,), np.uint8)
+            inside = fov[i]
+            for ch in range(3):
+                bgra[..., ch] = np.where(inside, g, 0).astype(np.uint8)
+            red = inside & mism[i]
+            bgra[red] = (0, 0, 255, 255)
+            bgra[..., 3] = np.where(inside, 255, 0).astype(np.uint8)
+            cv2.imwrite(path("mismatches"), bgra)
+
+    def check_coverage(self, level, frame, result, fov_masks):
+        """Insufficient-coverage policy at the brute-force level
+        (Derp.cpp:334-348): pixels inside the FOV that no camera pair covers
+        are fatal unless --partial_coverage or --use_foreground_masks."""
+        cost = np.asarray(result["cost"])
+        uncovered = ~np.isfinite(cost) & np.asarray(fov_masks, bool)
+        n = int(uncovered.sum())
+        if n == 0:
+            return
+        reasons = []
+        if self.opts.partial_coverage:
+            reasons.append("due to partial coverage")
+        if self.opts.use_foreground_masks:
+            reasons.append("due to noisy foreground masks")
+        msg = (
+            f"Insufficient coverage at {n} pixels (level {level}, frame {frame}) "
+            + " or ".join(reasons)
+        )
+        if not reasons:
+            raise RuntimeError(msg + "; pass --partial_coverage if the rig does not cover 360")
+        log.warning(msg)
+
     def load_coarser_disparity(self, level, frame, size_wh):
         """Upsampled init from level+1 outputs (DerpCLI.cpp:271-303)."""
         out = []
@@ -284,7 +342,12 @@ class DepthEstimator:
                     init = self.load_coarser_disparity(level, frame, size_wh)
                 result = solver.process_level(ctx, cfg, init_disparity=init)
                 result = jax.tree.map(np.asarray, result)
+                if level == self.num_levels - 1 or init is None:
+                    # brute force ran: enforce the coverage policy
+                    self.check_coverage(level, frame, result, fov_masks)
                 self.save_results(level, frame, result)
+                if self.opts.save_debug_images:
+                    self.save_debug_images(level, frame, result, fov_masks)
                 log.info("frame %s level %d (%dx%d): %.2fs", frame, level, w, h, time.time() - tf)
             log.info("-- Elapsed time: %.2fs", time.time() - t0)
         log.info("-- TOTAL: %.2fs", time.time() - t0)

@@ -78,9 +78,56 @@ def test_derp_cli_resume_from_level(project):
             "--max_depth_m", "100.0",
             "--level_start", "0",
             "--resolution", "80",
+            "--save_debug_images", "true",
         ]
     )
     disp = io.read_disparity(
         imagetypes.gen_filename(out_root, "disparity_levels", 0, rig.ids[0], "000000", "pfm")
     )
     assert np.isfinite(disp).any()
+    # --save_debug_images dumps cost/confidence/mismatch-overlay/disparity PNGs
+    # per dst camera (PyramidLevel.h:454-461 saveDebugImages)
+    import cv2
+
+    for cam_id in rig.ids:
+        for image_type in ("cost", "confidence", "mismatches", "disparity_levels"):
+            p = imagetypes.gen_filename(out_root, image_type, 0, cam_id, "000000", "png")
+            assert os.path.exists(p), p
+    overlay = cv2.imread(
+        imagetypes.gen_filename(out_root, "mismatches", 0, rig.ids[0], "000000", "png"),
+        cv2.IMREAD_UNCHANGED,
+    )
+    assert overlay.shape == (60, 80, 4)  # BGRA overlay
+
+
+def test_partial_coverage_policy():
+    """Insufficient coverage at the brute-force level is fatal unless
+    --partial_coverage or --use_foreground_masks (Derp.cpp:334-348)."""
+    from facebook360_dep_tpu.depth import pipeline as dp
+
+    h, w = 8, 10
+    fov = np.ones((2, h, w), bool)
+    cost = np.full((2, h, w), 1.0, np.float32)
+    cost[0, :2, :3] = np.nan  # 6 uncovered pixels inside the FOV
+    result = {"cost": cost}
+
+    est = dp.DepthEstimator.__new__(dp.DepthEstimator)
+
+    class Opts:
+        partial_coverage = False
+        use_foreground_masks = False
+
+    est.opts = Opts()
+    with pytest.raises(RuntimeError, match="Insufficient coverage"):
+        est.check_coverage(0, "000000", result, fov)
+
+    est.opts.partial_coverage = True
+    est.check_coverage(0, "000000", result, fov)  # warns, does not raise
+
+    est.opts.partial_coverage = False
+    est.opts.use_foreground_masks = True
+    est.check_coverage(0, "000000", result, fov)  # warns, does not raise
+
+    cost2 = np.ones((2, h, w), np.float32)  # fully covered: silent
+    est.opts.use_foreground_masks = False
+    est.check_coverage(0, "000000", {"cost": cost2}, fov)
