@@ -82,3 +82,137 @@ def test_exr_roundtrip(tmp_path):
     p3 = str(tmp_path / "c.exr")
     exr.write_exr(p3, rgb)
     assert np.array_equal(exr.read_exr(p3), rgb)
+
+
+def test_exr_zip_roundtrip(tmp_path):
+    """ZIP/ZIPS write+read (what OpenCV's default EXR encoder emits)."""
+    import numpy as np
+
+    from facebook360_dep_tpu.core import exr
+
+    rng = np.random.RandomState(1)
+    # >16 rows so ZIP spans multiple chunks incl. a partial final chunk
+    d = rng.rand(37, 21).astype(np.float32)
+    for comp in ("zip", "zips"):
+        p = str(tmp_path / f"{comp}.exr")
+        exr.write_exr(p, d, compression=comp)
+        assert np.array_equal(exr.read_exr(p), d), comp
+    rgb = rng.rand(19, 11, 3).astype(np.float32)
+    p3 = str(tmp_path / "c_zip.exr")
+    exr.write_exr(p3, rgb, compression="zip")
+    assert np.array_equal(exr.read_exr(p3), rgb)
+    # compression actually shrinks a compressible image
+    flat = np.full((64, 64), 0.25, np.float32)
+    pz, pn = str(tmp_path / "z.exr"), str(tmp_path / "n.exr")
+    exr.write_exr(pz, flat, compression="zip")
+    exr.write_exr(pn, flat, compression="none")
+    import os
+
+    assert os.path.getsize(pz) < os.path.getsize(pn) / 4
+
+
+def _hand_built_zip_exr(path, img):
+    """Assemble a ZIP EXR byte-by-byte from the OpenEXR spec, independently of
+    the codec under test (the reference's cv::imwrite output shape:
+    util/CvUtil.cpp:31-35; FLOAT Y channel, ZIP, 16-line chunks)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape
+    chlist = b"Y\x00" + struct.pack("<iBBBBii", 2, 0, 0, 0, 0, 1, 1) + b"\x00"
+
+    def attr(n, t, p):
+        return n.encode() + b"\x00" + t.encode() + b"\x00" + struct.pack("<i", len(p)) + p
+
+    hdr = attr("channels", "chlist", chlist)
+    hdr += attr("compression", "compression", b"\x03")  # ZIP
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    hdr += attr("dataWindow", "box2i", box) + attr("displayWindow", "box2i", box)
+    hdr += attr("lineOrder", "lineOrder", b"\x00")
+    hdr += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    hdr += attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+    hdr += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    hdr += b"\x00"
+    pre = struct.pack("<ii", 20000630, 2) + hdr
+
+    chunks = []
+    for y0 in range(0, h, 16):
+        raw = np.ascontiguousarray(img[y0 : y0 + 16]).tobytes()
+        b = bytearray(raw)
+        n = len(b)
+        half = (n + 1) // 2
+        inter = bytearray(n)
+        inter[:half] = b[0::2]
+        inter[half:] = b[1::2]
+        delta = bytearray(n)
+        delta[0] = inter[0]
+        for i in range(1, n):
+            delta[i] = (inter[i] - inter[i - 1] + 128) & 0xFF
+        z = zlib.compress(bytes(delta))
+        chunks.append((y0, z if len(z) < n else raw))
+
+    with open(path, "wb") as f:
+        f.write(pre)
+        pos = len(pre) + 8 * len(chunks)
+        for _, data in chunks:
+            f.write(struct.pack("<Q", pos))
+            pos += 8 + len(data)
+        for y0, data in chunks:
+            f.write(struct.pack("<ii", y0, len(data)) + data)
+
+
+def test_exr_zip_hand_built_fixture(tmp_path):
+    """Read a ZIP EXR assembled independently from the spec — proves the
+    reader handles reference-produced (cv::imwrite) disparity files."""
+    import numpy as np
+
+    from facebook360_dep_tpu.core import exr
+
+    rng = np.random.RandomState(2)
+    img = (rng.rand(21, 33) * 10).astype(np.float32)
+    p = str(tmp_path / "ref_like.exr")
+    _hand_built_zip_exr(p, img)
+    assert np.array_equal(exr.read_exr(p), img)
+
+
+def test_exr_half_channel_read(tmp_path):
+    """HALF-typed channels decode to float32 (OpenCV IMWRITE_EXR_TYPE_HALF)."""
+    import struct
+
+    import numpy as np
+
+    from facebook360_dep_tpu.core import exr
+
+    img = (np.arange(40, dtype=np.float16) / 8.0).reshape(5, 8)
+    h, w = img.shape
+    chlist = b"Y\x00" + struct.pack("<iBBBBii", 1, 0, 0, 0, 0, 1, 1) + b"\x00"
+
+    def attr(n, t, p):
+        return n.encode() + b"\x00" + t.encode() + b"\x00" + struct.pack("<i", len(p)) + p
+
+    hdr = attr("channels", "chlist", chlist)
+    hdr += attr("compression", "compression", b"\x00")
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    hdr += attr("dataWindow", "box2i", box) + attr("displayWindow", "box2i", box)
+    hdr += attr("lineOrder", "lineOrder", b"\x00")
+    hdr += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    hdr += attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+    hdr += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    hdr += b"\x00"
+    pre = struct.pack("<ii", 20000630, 2) + hdr
+    p = str(tmp_path / "half.exr")
+    with open(p, "wb") as f:
+        f.write(pre)
+        pos = len(pre) + 8 * h
+        row = 2 * w
+        for y in range(h):
+            f.write(struct.pack("<Q", pos))
+            pos += 8 + row
+        for y in range(h):
+            f.write(struct.pack("<ii", y, row))
+            f.write(np.ascontiguousarray(img[y]).tobytes())
+    back = exr.read_exr(p)
+    assert back.dtype == np.float32
+    assert np.array_equal(back, img.astype(np.float32))
