@@ -10,6 +10,7 @@ import argparse
 import logging
 
 from ..depth.pipeline import DepthEstimator, DepthEstimatorOptions
+from ..parallel import multihost
 
 
 def str2bool(v: str) -> bool:
@@ -57,7 +58,9 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     p = argparse.ArgumentParser(description=__doc__)
     add_flags(p)
+    multihost.add_flags(p)
     args = p.parse_args(argv)
+    multihost.maybe_initialize(args)
     DepthEstimator(options_from_args(args)).run()
 
 

@@ -147,6 +147,65 @@ class Pipeline:
         log.info("pipeline complete in %.1fs", time.time() - t0)
 
 
+class DistributedPipeline:
+    """Master for cross-process / cross-host workers over a shared-filesystem
+    broker (``farm.broker.FileQueue``). Same contract as the reference master
+    (``pipeline.py:173-248``): publish one persistent message per missing
+    chunk, poll until the response count matches, requeue dead workers' chunks,
+    abort if no worker is alive for the watchdog window. Workers are separate
+    ``python -m facebook360_dep_tpu.farm.worker`` processes on any host that
+    shares ``queue_root``."""
+
+    def __init__(
+        self,
+        queue_root: str,
+        force_recompute: bool = False,
+        no_worker_timeout: float | None = None,
+        lease_seconds: float | None = None,
+        stage_timeout: float | None = None,
+    ):
+        from . import broker
+
+        self.queue_root = queue_root
+        self.force_recompute = force_recompute
+        self.no_worker_timeout = no_worker_timeout or broker.NO_WORKER_TIMEOUT
+        self.lease_seconds = lease_seconds or broker.LEASE_SECONDS
+        self.stage_timeout = stage_timeout
+
+    def run_stage(self, stage: Stage, chunks: Sequence[FrameChunk]) -> None:
+        from .broker import FileQueue
+
+        assert stage.command is not None, "distributed stages need a subprocess command"
+        todo = list(chunks) if self.force_recompute else stage.missing(chunks)
+        skipped = len(chunks) - len(todo)
+        if skipped:
+            log.info("%s: %d/%d chunks cached, skipping", stage.name, skipped, len(chunks))
+        if not todo:
+            return
+        queue = FileQueue(os.path.join(self.queue_root, stage.name))
+        for chunk in todo:
+            queue.publish(chunk.name, {"argv": list(stage.command(chunk))})
+        log.info("%s: published %d chunk jobs", stage.name, len(todo))
+        queue.await_drain(
+            expected_done=len(todo),
+            timeout=self.stage_timeout,
+            no_worker_timeout=self.no_worker_timeout,
+            lease=self.lease_seconds,
+        )
+        still_missing = stage.missing(chunks) if not self.force_recompute else []
+        if still_missing:
+            raise RuntimeError(
+                f"stage {stage.name}: outputs still missing for {[c.name for c in still_missing]}"
+            )
+
+    def run(self, stages: Sequence[Stage], chunks: Sequence[FrameChunk]) -> None:
+        t0 = time.time()
+        for stage in stages:
+            log.info("=== stage %s (%d chunks, distributed) ===", stage.name, len(chunks))
+            self.run_stage(stage, chunks)
+        log.info("pipeline complete in %.1fs", time.time() - t0)
+
+
 def python_module_command(module: str, flags: dict) -> list[str]:
     """Build a subprocess argv for one of our CLI modules with --flag=value
     pairs — the farm message format is a flat flag dict, exactly like the

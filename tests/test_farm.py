@@ -77,3 +77,144 @@ def test_python_module_command():
     argv = runner.python_module_command("derp_cli", {"input_root": "/a", "first": "000000"})
     assert argv[-2:] == ["--input_root=/a", "--first=000000"]
     assert "facebook360_dep_tpu.cli.derp_cli" in argv
+
+
+# ---- cross-process broker (farm.broker + farm.worker) -----------------------
+
+import json
+import signal
+import subprocess
+import sys
+import time
+
+from facebook360_dep_tpu.farm import broker
+
+
+def _spawn_worker(queue_dir, worker_id, once=True, max_retries=1):
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    argv = [
+        sys.executable, "-m", "facebook360_dep_tpu.farm.worker",
+        "--queue_dir", str(queue_dir), "--worker_id", worker_id,
+        "--max_retries", str(max_retries),
+    ]
+    if once:
+        argv.append("--once")
+    return subprocess.Popen(argv, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+
+def test_broker_two_workers_split_jobs(tmp_path):
+    """Two separate worker PROCESSES drain one queue; each job runs exactly
+    once (atomic rename claim = RabbitMQ prefetch-1 + ack)."""
+    q = broker.FileQueue(str(tmp_path / "q"))
+    out = tmp_path / "out"
+    out.mkdir()
+    for i in range(6):
+        q.publish(
+            f"job{i}",
+            {"argv": [sys.executable, "-c",
+                      f"open(r'{out}/j{i}', 'w').write('x')"]},
+        )
+    w1 = _spawn_worker(tmp_path / "q", "w1")
+    w2 = _spawn_worker(tmp_path / "q", "w2")
+    q.await_drain(expected_done=6, timeout=60, no_worker_timeout=30)
+    w1.wait(timeout=30)
+    w2.wait(timeout=30)
+    for i in range(6):
+        assert (out / f"j{i}").exists()
+    # every job acked exactly once, results carry the worker id
+    done = sorted(os.listdir(tmp_path / "q" / "done"))
+    assert len(done) == 6
+    workers = set()
+    for fn in done:
+        with open(tmp_path / "q" / "done" / fn) as f:
+            workers.add(json.load(f)["result"]["worker"])
+    assert workers <= {"w1", "w2"}
+
+
+def test_worker_sigkilled_mid_chunk_is_requeued(tmp_path):
+    """Fault injection (VERDICT #7): SIGKILL a worker while it holds a chunk;
+    the master's lease expiry requeues it and another worker completes it
+    (reference reject-requeue, worker.py:458-481)."""
+    q = broker.FileQueue(str(tmp_path / "q"))
+    out = tmp_path / "done_marker"
+    q.publish(
+        "slowjob",
+        {"argv": [sys.executable, "-c",
+                  f"import time; time.sleep(120); open(r'{out}', 'w').write('x')"]},
+    )
+    victim = _spawn_worker(tmp_path / "q", "victim", once=False)
+    # wait until the victim has claimed the job
+    deadline = time.time() + 30
+    claimed_dir = tmp_path / "q" / "claimed"
+    while time.time() < deadline and not os.listdir(claimed_dir):
+        time.sleep(0.05)
+    assert os.listdir(claimed_dir), "worker never claimed the job"
+    victim.kill()  # SIGKILL mid-chunk
+    victim.wait(timeout=30)
+    # lease expires -> master requeues
+    time.sleep(1.2)
+    requeued = q.requeue_stale_claims(lease=1.0)
+    assert requeued == ["slowjob"]
+    # message survives with its payload; repoint it at a fast command and
+    # let a fresh worker finish it
+    with open(tmp_path / "q" / "queue" / "slowjob.json", "r+") as f:
+        msg = json.load(f)
+        msg["argv"] = [sys.executable, "-c", f"open(r'{out}', 'w').write('x')"]
+        f.seek(0); json.dump(msg, f); f.truncate()
+    rescuer = _spawn_worker(tmp_path / "q", "rescuer")
+    q.await_drain(expected_done=1, timeout=60, no_worker_timeout=30, lease=3600)
+    rescuer.wait(timeout=30)
+    assert out.exists()
+    with open(tmp_path / "q" / "done" / "slowjob.json") as f:
+        assert json.load(f)["result"]["worker"] == "rescuer"
+
+
+def test_failed_job_requeued_then_parked(tmp_path):
+    """A deterministically failing job is retried max_retries times then
+    parked in failed/ and surfaces as a master error."""
+    q = broker.FileQueue(str(tmp_path / "q"))
+    q.publish("bad", {"argv": [sys.executable, "-c", "raise SystemExit(3)"]})
+    w = _spawn_worker(tmp_path / "q", "w", once=True, max_retries=1)
+    w.wait(timeout=60)
+    # --once exits when queue is empty; run again for the requeued attempt
+    w2 = _spawn_worker(tmp_path / "q", "w", once=True, max_retries=1)
+    w2.wait(timeout=60)
+    with pytest.raises(RuntimeError, match="failed permanently"):
+        q.await_drain(expected_done=1, timeout=10, no_worker_timeout=5)
+    with open(tmp_path / "q" / "failed" / "bad.json") as f:
+        msg = json.load(f)
+    assert msg["attempts"] == 2 and "rc=3" in msg["last_error"]
+
+
+def test_master_watchdog_no_workers(tmp_path):
+    """pipeline.py:238-246: master aborts when no worker shows up."""
+    q = broker.FileQueue(str(tmp_path / "q"))
+    q.publish("lonely", {"argv": ["true"]})
+    with pytest.raises(RuntimeError, match="no live workers"):
+        q.await_drain(expected_done=1, timeout=30, no_worker_timeout=0.5)
+
+
+def test_distributed_pipeline_end_to_end(tmp_path):
+    """DistributedPipeline master + real worker processes: publish, drain,
+    then resume-skip on rerun."""
+    out = tmp_path / "out"
+    out.mkdir()
+
+    def outputs(chunk):
+        return [str(out / f"{chunk.name}.txt")]
+
+    def command(chunk):
+        return [sys.executable, "-c",
+                f"open(r'{out}/{chunk.name}.txt', 'w').write('ok')"]
+
+    stage = runner.Stage(name="write", outputs=outputs, command=command)
+    chunks = runner.chunk_frames(0, 7, 2)
+    master = runner.DistributedPipeline(
+        str(tmp_path / "q"), no_worker_timeout=30, stage_timeout=60
+    )
+    w = _spawn_worker(tmp_path / "q" / "write", "w1")
+    master.run([stage], chunks)
+    w.wait(timeout=30)
+    assert sorted(os.listdir(out)) == [f"{c.name}.txt" for c in chunks]
+    # rerun with no workers alive: all cached, publishes nothing, returns fast
+    master.run([stage], chunks)
