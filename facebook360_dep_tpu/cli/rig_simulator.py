@@ -30,7 +30,9 @@ def main(argv=None):
     p.add_argument("--first", default="000000")
     p.add_argument("--last", default="000000")
     p.add_argument("--radius", type=float, default=5.0, help="scene sphere radius (m)")
-    p.add_argument("--scene", default="sphere", choices=["sphere", "box"])
+    p.add_argument("--scene", default="sphere", choices=["sphere", "box", "occluders"])
+    p.add_argument("--num_occluders", type=int, default=4,
+                   help="floating occluder boxes in the occluders scene")
     p.add_argument("--box_half_extents", default="6,6,3", help="box room half extents (m)")
     p.add_argument("--eqr_width", type=int, default=0,
                    help="if > 0, also write true color/disparity equirects this wide")
@@ -60,7 +62,19 @@ def main(argv=None):
     half_extents = tuple(float(v) for v in args.box_half_extents.split(","))
     for f in range(int(args.first), int(args.last) + 1):
         frame = io.frame_name(f)
-        if args.scene == "box":
+        if args.scene == "occluders":
+            # BVH-raytraced room + floating boxes: geometry the analytic
+            # sphere/box path cannot render (BoundingVolumeHierarchy.h)
+            from ..render import raytrace
+
+            mesh = raytrace.box_room_with_occluders(
+                room_half_extents=half_extents,
+                seed=args.seed + f,
+                num_occluders=args.num_occluders,
+            )
+            bvh = raytrace.build_bvh(np.asarray(mesh.vertices))
+            colors, gt = raytrace.render_mesh_scene(rig, (w, h), mesh, bvh)
+        elif args.scene == "box":
             colors, gt = synthetic.render_box_scene(
                 rig, (w, h), half_extents=half_extents, seed=args.seed + f
             )
@@ -81,9 +95,14 @@ def main(argv=None):
             io.write_disparity(os.path.join(tdir, frame + ".pfm"), gt[i])
         if args.eqr_width > 0:
             ew = args.eqr_width
-            ecolor, edisp = synthetic.ground_truth_equirect(
-                rig, ew, ew // 2, args.scene, args.radius, half_extents, args.seed + f
-            )
+            if args.scene == "occluders":
+                from ..render import raytrace
+
+                ecolor, edisp = raytrace.ground_truth_equirect_mesh(mesh, ew, ew // 2, bvh)
+            else:
+                ecolor, edisp = synthetic.ground_truth_equirect(
+                    rig, ew, ew // 2, args.scene, args.radius, half_extents, args.seed + f
+                )
             edir = os.path.join(args.dest, "truth_eqr")
             os.makedirs(edir, exist_ok=True)
             io.write_color(os.path.join(edir, frame + "_color.png"), ecolor, bit_depth=16)

@@ -102,3 +102,32 @@ def test_rig_compare_contract(tmp_path):
     # [0.02, 0.09] (norm of 3 uniforms), rotation untouched
     assert 0.02 < diffs["position"] < 0.09, diffs
     assert diffs["forward"] < 1e-6 and diffs["focal"] == 0.0
+
+
+def test_occluder_scene_contract(tmp_path):
+    """VERDICT #10: a BVH-raytraced scene the analytic path can't render
+    (room + floating occluder boxes -> depth discontinuities + occlusion),
+    solved coarse-to-fine under 5% median rel err vs raytraced truth."""
+    root = str(tmp_path / "proj")
+    rig_simulator.main([
+        "--dest", root, "--num_cameras", "4", "--resolution", "96",
+        "--levels", "2", "--scene", "occluders", "--num_occluders", "3",
+    ])
+    out = os.path.join(root, "out")
+    derp_cli.main([
+        "--input_root", root, "--output_root", out,
+        "--min_depth_m", "1.0", "--max_depth_m", "50.0", "--resolution", "96",
+    ])
+    rig = cam.load_rig(os.path.join(root, "rigs/rig_calibrated.json"))
+    rels = []
+    for cam_id in rig.ids:
+        disp = io.read_disparity(
+            os.path.join(out, "disparity_levels/level_0", cam_id, "000000.pfm")
+        )
+        gt = io.read_disparity(os.path.join(root, "truth", cam_id, "000000.pfm"))
+        m = np.zeros(disp.shape, bool)
+        m[6:-6, 6:-6] = True
+        valid = np.isfinite(disp) & np.isfinite(gt) & m
+        rels.append(np.abs(disp[valid] - gt[valid]) / gt[valid])
+    med = float(np.median(np.concatenate(rels)))
+    assert med < 0.05, f"median rel err {med:.4f} on the occluder scene"
