@@ -120,3 +120,18 @@ def test_convert_to_binary_cli(tmp_path):
         assert f.max() < len(v)
         assert (tmp_path / "bin" / cid / "000000.bc7").exists()
     assert (tmp_path / "fused" / "fused.json").exists()
+
+
+def test_bc7_quality_harness():
+    """VERDICT #9: mode-6 PSNR on a photo block set is high in absolute terms
+    AND within ~1 dB of the mode-6 unquantized-endpoint upper bound (the
+    ceiling any mode-6 encoder, incl. the reference's ispc_texcomp, sits
+    under)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import bc7_quality
+
+    result = bc7_quality.run(size=128)
+    assert result["value"] > 38.0, result
+    assert result["detail"]["gap_to_bound_db"] < 1.5, result
