@@ -75,3 +75,58 @@ def test_fleet_cli_dry_run(capsys):
     out = capsys.readouterr().out
     assert "tpu-vm create" in out and "render_pipeline" in out
     assert len(fleet.issued) >= 4
+
+
+def test_fleet_against_fake_gcloud(tmp_path, monkeypatch):
+    """Run the REAL (non-dry-run) fleet lifecycle against a fake gcloud
+    binary: create -> deploy -> run_render -> idle-terminate. The fake logs
+    every argv and serves /proc/loadavg reads busy-then-idle so the
+    auto-terminate clock (config.py:86-87 semantics) actually runs."""
+    import os
+    import stat
+    import sys
+
+    from facebook360_dep_tpu.farm import cluster
+
+    calls = tmp_path / "calls.log"
+    counter = tmp_path / "load_calls"
+    counter.write_text("0")
+    fake = tmp_path / "gcloud"
+    fake.write_text(f"""#!/bin/sh
+echo "$@" >> {calls}
+case "$@" in
+  *"cat /proc/loadavg"*)
+    n=$(cat {counter}); echo $((n+1)) > {counter}
+    if [ "$n" -lt 2 ]; then echo "1.50 1.2 1.0 1/100 42"; else echo "0.01 0.1 0.1 1/100 42"; fi
+    ;;
+esac
+exit 0
+""")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+
+    cfg = cluster.ClusterConfig(name="t", workers=2, gcs_root="")
+    fleet = cluster.TpuFleet(cfg, dry_run=False)
+    fleet.create()
+    fleet.deploy(str(tmp_path))
+    fleet.run_render("gs://in", "gs://out", first=0, last=3, chunk_size=1)
+
+    # busy worker (load 1.5) resets the idle clock; after it drops to 0.01
+    # for idle_minutes the fleet terminates
+    import time as _time
+
+    t0 = _time.time()
+    fleet.monitor_and_terminate(poll_s=0, idle_minutes=0.002)
+    assert _time.time() - t0 < 30
+
+    logged = calls.read_text().splitlines()
+    assert sum("tpu-vm create t-w0" in l for l in logged) == 1
+    assert sum("tpu-vm create t-w1" in l for l in logged) == 1
+    # each worker got a deploy ssh and a render ssh with its frame shard
+    assert any("render_pipeline" in l and "--first=000000 --last=000001" in l for l in logged)
+    assert any("render_pipeline" in l and "--first=000002 --last=000003" in l for l in logged)
+    # idle polling happened more than once (busy -> idle transition)
+    assert sum("cat /proc/loadavg" in l for l in logged) >= 4
+    # and the fleet was deleted
+    assert sum("tpu-vm delete t-w0 --quiet" in l.replace("  ", " ") or "delete t-w0" in l for l in logged) == 1
+    assert any("delete t-w1" in l for l in logged)
