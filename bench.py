@@ -145,7 +145,37 @@ def main():
     rel_rmse = float(
         np.sqrt(np.mean((disp_np[valid] - gt_np[valid]) ** 2)) / np.mean(gt_np[valid])
     )
-    log(f"{elapsed()} pyramid {pyramid_s_per_map:.3f}s/map, rel RMSE {rel_rmse:.4f}")
+
+    # Covered-pixel RMSE: the ring rig leaves a thin sliver per dst seen by
+    # <2 other cameras (kMinOverlappingCams, Derp.h:27) — geometry the
+    # reference REFUSES without --partial_coverage (Derp.cpp:334-348), so the
+    # quality contract binds where stereo coverage exists. Mask = >=2 srcs
+    # see the GT point.
+    from facebook360_dep_tpu.ops import cost as costmod
+
+    @jax.jit
+    def coverage(gt_d, di):
+        cdst = jax.tree.map(lambda a: a[di], nrig.cameras)
+
+        def one_src(si):
+            csrc = jax.tree.map(lambda a: a[si], nrig.cameras)
+            _, v = costmod.reproject_to_src(
+                cdst, csrc, gt_d, gt_d.shape, gt_d.shape
+            )
+            return v & (si != di)
+
+        cnt = jnp.sum(jax.vmap(one_src)(jnp.arange(NUM_CAMERAS)), axis=0)
+        return cnt >= 2
+
+    cov = np.stack([np.asarray(coverage(gt_2k[i], i)) for i in range(BENCH_DST)])
+    vc = valid & cov
+    rel_rmse_cov = float(
+        np.sqrt(np.mean((disp_np[vc] - gt_np[vc]) ** 2)) / np.mean(gt_np[vc])
+    )
+    log(
+        f"{elapsed()} pyramid {pyramid_s_per_map:.3f}s/map, rel RMSE {rel_rmse:.4f} "
+        f"(covered {rel_rmse_cov:.4f} over {cov.mean():.1%})"
+    )
 
     # rephotography MSSIM at 2K: re-render dst 0 from the other sources at the
     # solved disparity (ComputeRephotographyErrors equivalent)
@@ -266,6 +296,8 @@ def main():
                     "mismatch_stage_s_per_map": round(mismatch_s_per_map, 4),
                     "level_times_for_2_maps": level_times,
                     "disparity_rel_rmse_full_pyramid_vs_gt": round(rel_rmse, 6),
+                    "disparity_rel_rmse_covered_pixels": round(rel_rmse_cov, 6),
+                    "covered_pixel_fraction": round(float(cov.mean()), 4),
                     "rephoto_mssim_pct": round(mssim, 2),
                     "coarsest_level_s_per_map": round(coarsest_s / BENCH_DST, 4),
                     "coarse_2k_150_sweep_s_per_map": round(t_coarse2k, 4),

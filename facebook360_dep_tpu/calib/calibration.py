@@ -54,6 +54,8 @@ class CalibrationOptions:
     point_min_dist: float = 1.0
     point_error_stddev: float = 0.5
     match_score_threshold: float = 0.75
+    debug_dir: str = ""  # showMatches/showReprojections trigger (FLAGS_debug_dir)
+    image_root: str = ""  # where debug imagery lives (black canvas if absent)
     extra: dict = field(default_factory=dict)
 
 
@@ -304,6 +306,13 @@ def geometric_calibration(
     ref_idx = rig.ids.index(opts.reference_camera) if opts.reference_camera else 0
     rel_idx = (ref_idx + 1) % len(rig.ids)
 
+    if opts.debug_dir:
+        from . import overlays
+
+        overlays.save_match_overlays(
+            opts.debug_dir, 0, rig, features, overlaps, image_root=opts.image_root
+        )
+
     for pass_idx in range(opts.pass_count):
         # trace assembly + triangulation
         obs_cam, obs_trace, obs_pixel, n_traces = assemble_traces(
@@ -364,6 +373,27 @@ def geometric_calibration(
             n_traces,
             len(obs_cam),
             median,
+        )
+
+    if opts.debug_dir:
+        # per-camera reprojection renders after the final pass
+        # (showReprojections, GeometricCalibration.cpp:849-872)
+        from . import overlays
+
+        reproj = np.full_like(obs_pixel, np.nan)
+        for ci in range(len(rig.ids)):
+            sel = np.asarray(obs_cam) == ci
+            if sel.any():
+                pix, valid = cam.sees(rig.camera(ci), points[obs_trace[sel]])
+                reproj[sel] = np.where(np.asarray(valid)[:, None], np.asarray(pix), np.nan)
+        image_ids = {}
+        for image in features:
+            ci = camera_id_from_image_path(image, rig)
+            if ci is not None:
+                image_ids[ci] = image
+        overlays.save_reprojection_renders(
+            opts.debug_dir, rig, image_ids, np.asarray(obs_cam), np.asarray(obs_pixel),
+            reproj, image_root=opts.image_root,
         )
 
     if median > opts.max_error:

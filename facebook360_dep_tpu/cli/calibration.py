@@ -88,6 +88,9 @@ def add_geo_flags(p, include_io=True):
     p.add_argument("--perturb_principals", type=float, default=0.0)
     p.add_argument("--perturb_focals", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--debug_dir", default="",
+                   help="write match overlays + reprojection renders here (showMatches/showReprojections)")
+    p.add_argument("--image_root", default="", help="imagery root for debug overlays")
 
 
 def run_geometric_calibration(args) -> float:
@@ -131,6 +134,8 @@ def run_geometric_calibration(args) -> float:
         reference_camera=args.reference_camera,
         max_error=args.max_error,
         match_score_threshold=args.match_score_threshold,
+        debug_dir=args.debug_dir,
+        image_root=args.image_root or getattr(args, "color", ""),
     )
     solved, median = geo.geometric_calibration(rig, feats, overlaps, opts)
     cam.save_rig(args.rig_out, solved)

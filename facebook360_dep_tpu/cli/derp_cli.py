@@ -45,6 +45,11 @@ def add_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--do_bilateral_filter", type=str2bool, default=True)
     p.add_argument("--do_median_filter", type=str2bool, default=True)
     p.add_argument("--save_debug_images", type=str2bool, default=False)
+    p.add_argument("--debug_dir", default="", help="plotMatches output dir (Derp.cpp:28-70)")
+    p.add_argument("--debug_plot_match_dst", default="")
+    p.add_argument("--debug_plot_match_x", type=int, default=-1)
+    p.add_argument("--debug_plot_match_y", type=int, default=-1)
+    p.add_argument("--debug_plot_match_level", type=int, default=-1)
     p.add_argument("--threads", type=int, default=-1, help="accepted for flag parity (unused)")
 
 

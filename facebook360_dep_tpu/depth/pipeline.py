@@ -59,6 +59,13 @@ class DepthEstimatorOptions:
     do_bilateral_filter: bool = True
     do_median_filter: bool = True
     save_debug_images: bool = False
+    # plotMatches (Derp.cpp:28-70; kDebug* constants Derp.h:50-55 exposed as
+    # flags): project one dst pixel's solved depth into every src image
+    debug_dir: str = ""
+    debug_plot_match_dst: str = ""
+    debug_plot_match_x: int = -1
+    debug_plot_match_y: int = -1
+    debug_plot_match_level: int = -1
     extra: dict = field(default_factory=dict)
 
     def resolve_paths(self):
@@ -269,6 +276,59 @@ class DepthEstimator:
             raise RuntimeError(msg + "; pass --partial_coverage if the rig does not cover 360")
         log.warning(msg)
 
+    def plot_matches(self, level, frame, result, colors, caller="processLevel"):
+        """plotDstPointInSrc for every src (Derp.cpp:28-70, DerpUtil.cpp:164-197):
+        unproject the debug pixel at its solved disparity, project into each
+        src image, mark the landing point green, save one PNG per src."""
+        o = self.opts
+        if (
+            not o.debug_dir
+            or not o.debug_plot_match_dst
+            or o.debug_plot_match_level != level
+            or o.debug_plot_match_x < 0
+            or o.debug_plot_match_y < 0
+        ):
+            return
+        import cv2
+
+        from ..core import camera as cam
+
+        x, y = o.debug_plot_match_x, o.debug_plot_match_y
+        di = self.rig_dst.ids.index(o.debug_plot_match_dst)
+        disp = float(np.asarray(result["disparity"])[di, y, x])
+        if not np.isfinite(disp) or disp <= 0:
+            log.warning("plotMatches: no disparity at (%d, %d)", x, y)
+            return
+        h, w = np.asarray(result["disparity"]).shape[1:]
+        cdst = jax.tree.map(lambda a: np.asarray(a)[di], self.rig_dst.cameras)
+        # rig cameras are normalized (resolution == [1,1]): pixel coords scale
+        # by the level size both directions (as in ops.cost.reproject_rays)
+        pix_norm = jnp.asarray([(x + 0.5) / w, (y + 0.5) / h], jnp.float32)
+        ray = np.asarray(cam.ray_dir(cdst, pix_norm))
+        world = np.asarray(cdst.position) + ray / disp
+        os.makedirs(o.debug_dir, exist_ok=True)
+        for si, src_id in enumerate(self.rig_src.ids):
+            if src_id == o.debug_plot_match_dst:
+                continue
+            csrc = jax.tree.map(lambda a: np.asarray(a)[si], self.rig_src.cameras)
+            pix, valid = cam.sees(csrc, jnp.asarray(world))
+            if not bool(np.asarray(valid)):
+                continue
+            px, py = float(pix[0]) * w, float(pix[1]) * h
+            img = (np.clip(np.asarray(colors[si])[..., :3], 0, 1) * 65535).astype(np.uint16)
+            img = np.ascontiguousarray(img[..., ::-1])  # BGR for imwrite
+            iy = int(np.clip(py, 0, img.shape[0] - 1))
+            ix = int(np.clip(px, 0, img.shape[1] - 1))
+            img[iy, ix] = (0, 65535, 0)
+            fn = os.path.join(
+                o.debug_dir,
+                f"{caller}_{o.debug_plot_match_dst}_x={x}_y={y}->"
+                f"{src_id}_x={px:.2f}_y={py:.2f}.png",
+            )
+            cv2.imwrite(fn, img)
+        log.info("plotMatches: wrote projections of %s (%d, %d) disparity %.4f",
+                 o.debug_plot_match_dst, x, y, disp)
+
     def load_coarser_disparity(self, level, frame, size_wh):
         """Upsampled init from level+1 outputs (DerpCLI.cpp:271-303)."""
         out = []
@@ -348,6 +408,7 @@ class DepthEstimator:
                 self.save_results(level, frame, result)
                 if self.opts.save_debug_images:
                     self.save_debug_images(level, frame, result, fov_masks)
+                self.plot_matches(level, frame, result, colors)
                 log.info("frame %s level %d (%dx%d): %.2fs", frame, level, w, h, time.time() - tf)
             log.info("-- Elapsed time: %.2fs", time.time() - t0)
         log.info("-- TOTAL: %.2fs", time.time() - t0)

@@ -100,3 +100,32 @@ def test_matches_json_roundtrip(tmp_path, rig):
     total_pairs = sum(len(pairs) for _, _, pairs in overlaps)
     total_pairs2 = sum(len(pairs) for _, _, pairs in overlaps2)
     assert total_pairs == total_pairs2
+
+
+def test_calibration_debug_overlays(tmp_path):
+    """showMatches/showReprojections (GeometricCalibration.cpp:821-872):
+    --debug_dir writes pass0 match overlays + per-camera reprojection
+    renders."""
+    import glob
+    import os
+
+    import numpy as np
+
+    from facebook360_dep_tpu.calib import calibration as geo
+    from facebook360_dep_tpu.core import camera as cam
+    from facebook360_dep_tpu.render import synthetic
+
+    rig = synthetic.make_test_rig(num_cameras=4, resolution=(320, 240), ring_radius=0.15)
+    feats, overlaps = geo.generate_artificial_points(rig, 300, 1.0, 0.3, seed=1)
+    debug = str(tmp_path / "debug")
+    opts = geo.CalibrationOptions(pass_count=2, debug_dir=debug)
+    geo.geometric_calibration(rig, feats, overlaps, opts)
+    matches = glob.glob(os.path.join(debug, "pass0_*.png"))
+    assert matches, "no match overlays written"
+    for cam_id in rig.ids:
+        assert os.path.exists(os.path.join(debug, f"{cam_id}.png")), cam_id
+    import cv2
+
+    img = cv2.imread(matches[0])
+    assert img is not None and img.shape[1] == 640  # side-by-side pair
+    assert img.any()  # lines/circles drawn

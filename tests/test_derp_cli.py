@@ -131,3 +131,33 @@ def test_partial_coverage_policy():
     cost2 = np.ones((2, h, w), np.float32)  # fully covered: silent
     est.opts.use_foreground_masks = False
     est.check_coverage(0, "000000", {"cost": cost2}, fov)
+
+
+def test_plot_matches_debug(project):
+    """plotMatches (Derp.cpp:28-70): one PNG per src showing where the debug
+    dst pixel's solved depth lands."""
+    import glob
+
+    from facebook360_dep_tpu.cli import derp_cli
+
+    root, rig, gt = project
+    out_root = os.path.join(root, "out_plot")
+    debug = os.path.join(root, "debug_plot")
+    derp_cli.main(
+        [
+            "--input_root", root,
+            "--output_root", out_root,
+            "--min_depth_m", "1.0",
+            "--max_depth_m", "100.0",
+            "--resolution", "80",
+            "--debug_dir", debug,
+            "--debug_plot_match_dst", rig.ids[0],
+            "--debug_plot_match_x", "40",
+            "--debug_plot_match_y", "30",
+            "--debug_plot_match_level", "0",
+        ]
+    )
+    files = glob.glob(os.path.join(debug, "*.png"))
+    assert files, "no plotMatches output"
+    # landing coords are embedded in the filename (DerpUtil.cpp:186-195)
+    assert any(f"{rig.ids[0]}_x=40_y=30->" in os.path.basename(f) for f in files)
