@@ -102,6 +102,7 @@ def test_matches_json_roundtrip(tmp_path, rig):
     assert total_pairs == total_pairs2
 
 
+@pytest.mark.slow
 def test_calibration_debug_overlays(tmp_path):
     """showMatches/showReprojections (GeometricCalibration.cpp:821-872):
     --debug_dir writes pass0 match overlays + per-camera reprojection

@@ -54,6 +54,7 @@ def test_temporal_bilateral_filter_cli(project):
     assert err_f < err_r
 
 
+@pytest.mark.slow
 def test_upsample_disparity_cli(project):
     from facebook360_dep_tpu.cli import upsample_disparity
 

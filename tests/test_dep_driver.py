@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from facebook360_dep_tpu.cli import dep, rig_simulator
 from facebook360_dep_tpu.core import io
@@ -20,6 +21,7 @@ def test_init_and_status(tmp_path):
     assert dep.main(["status", "--project_root", root]) == 1
 
 
+@pytest.mark.slow
 def test_depth_workflow_and_state(tmp_path):
     root = str(tmp_path / "proj")
     rig_simulator.main([
@@ -39,6 +41,7 @@ def test_depth_workflow_and_state(tmp_path):
     assert state["depth"]["last"] == "000000"
 
 
+@pytest.mark.slow
 def test_export_workflow(tmp_path):
     root = str(tmp_path / "proj")
     rig_simulator.main([

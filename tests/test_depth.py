@@ -39,6 +39,7 @@ def test_brute_force_recovers_sphere(scene):
     assert np.median(err) < 0.05, f"median rel err {np.median(err)}"
 
 
+@pytest.mark.slow
 def test_process_level_full(scene):
     rig, colors, gt_disp = scene
     ctx = _context(rig, colors)

@@ -32,6 +32,7 @@ def project(tmp_path_factory):
     return str(root), rig, gt
 
 
+@pytest.mark.slow
 def test_derp_cli_end_to_end(project):
     from facebook360_dep_tpu.cli import derp_cli
 
@@ -64,6 +65,7 @@ def test_derp_cli_end_to_end(project):
     assert np.median(rel) < 0.05, f"median rel disparity err {np.median(rel):.4f}"
 
 
+@pytest.mark.slow
 def test_derp_cli_resume_from_level(project):
     """level_start resume (DerpCLI.cpp:50-51): rerun finest level only."""
     from facebook360_dep_tpu.cli import derp_cli
@@ -133,6 +135,7 @@ def test_partial_coverage_policy():
     est.check_coverage(0, "000000", {"cost": cost2}, fov)
 
 
+@pytest.mark.slow
 def test_plot_matches_debug(project):
     """plotMatches (Derp.cpp:28-70): one PNG per src showing where the debug
     dst pixel's solved depth lands."""

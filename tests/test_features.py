@@ -40,6 +40,7 @@ def test_camera_overlap(scene):
     assert features.camera_overlap(c0, c1) > 0.5
 
 
+@pytest.mark.slow
 def test_match_corners_and_calibrate(scene):
     """End-to-end: detect, match, then recover a small rotation perturbation
     from image matches alone (the reference CalibrationTest flow)."""

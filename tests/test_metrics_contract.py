@@ -37,6 +37,7 @@ def project(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_derp_rephoto_contract(project, caplog):
     out = os.path.join(project, "out")
     derp_cli.main([
@@ -104,6 +105,7 @@ def test_rig_compare_contract(tmp_path):
     assert diffs["forward"] < 1e-6 and diffs["focal"] == 0.0
 
 
+@pytest.mark.slow
 def test_occluder_scene_contract(tmp_path):
     """VERDICT #10: a BVH-raytraced scene the analytic path can't render
     (room + floating occluder boxes -> depth discontinuities + occlusion),

@@ -8,11 +8,13 @@ walks the whole chain on synthetic data and checks the novel-view render.
 import os
 
 import numpy as np
+import pytest
 
 from facebook360_dep_tpu.cli import convert_to_binary, derp_cli, rig_simulator, view_fused
 from facebook360_dep_tpu.core import io
 
 
+@pytest.mark.slow
 def test_depth_to_viewer_roundtrip(tmp_path):
     root = str(tmp_path)
     rig_simulator.main([

@@ -1,16 +1,19 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     from facebook360_dep_tpu.core import camera as cam
     from facebook360_dep_tpu.depth import pipeline, solver
@@ -48,6 +51,7 @@ def test_entry_compiles():
     assert np.asarray(out).shape == args[1].shape
 
 
+@pytest.mark.slow
 def test_frame_camera_mesh_2d():
     """2D data-parallel frames x model-parallel cameras mesh (2 x 4)."""
     import jax

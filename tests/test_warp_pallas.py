@@ -82,6 +82,7 @@ def test_clamp_to_edge_matches_reference():
     assert np.abs(np.asarray(out)[ok] - ref[ok]).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_solver_cost_matches_gather_path():
     """Pallas-sampled costs (interpret mode) vs the XLA gather path on a real
     scene. The sampling stack is bf16 (by design: DEFAULT MXU precision
