@@ -1,0 +1,249 @@
+"""The viewer's embedded WebGL2 page.
+
+Implements the reference RigScene pipeline in the browser
+(``render/RigScene.cpp:195-320, 995-1035``):
+
+- per camera: draw its displaced mesh (world positions precomputed by the
+  server from the equi-error .vtx, exactly cameraMeshVS's
+  ``camera + (focal/c) * direction(a,b)``) textured by its subframe color;
+- fragment alpha is the cone weight ``max(eps, 1 - 2*length(uv - 0.5))``
+  (cameraFS), premultiplied and accumulated additively into an RGBA32F
+  framebuffer (setupAccumulation's ONE/ONE blend);
+- a fullscreen resolve pass divides RGB by accumulated alpha (resolveFS).
+
+Controls: drag = look, WASD/QE = move, scroll = dolly, [/] = frame step,
+space = play. No external assets (zero-egress friendly).
+"""
+
+HTML = r"""<!doctype html>
+<html><head><meta charset="utf-8"><title>facebook360_dep_tpu 6DoF viewer</title>
+<style>
+ html,body{margin:0;height:100%;overflow:hidden;background:#000;color:#9ab;font:12px monospace}
+ #hud{position:fixed;left:8px;top:8px;z-index:2;white-space:pre;text-shadow:0 0 4px #000}
+ canvas{width:100vw;height:100vh;display:block}
+</style></head>
+<body><div id="hud">loading…</div><canvas id="gl"></canvas>
+<script>
+"use strict";
+const canvas = document.getElementById("gl");
+const hud = document.getElementById("hud");
+const gl = canvas.getContext("webgl2", {antialias: false});
+if (!gl) hud.textContent = "WebGL2 unavailable";
+const floatOK = gl && !!gl.getExtension("EXT_color_buffer_float");
+
+// --- tiny mat4 (column major, WebGL convention) ----------------------------
+function mul(a,b){const o=new Float32Array(16);for(let c=0;c<4;c++)for(let r=0;r<4;r++){let s=0;for(let k=0;k<4;k++)s+=a[k*4+r]*b[c*4+k];o[c*4+r]=s}return o}
+function persp(fovy,aspect,near,far){const f=1/Math.tan(fovy/2),o=new Float32Array(16);o[0]=f/aspect;o[5]=f;o[10]=(far+near)/(near-far);o[11]=-1;o[14]=2*far*near/(near-far);return o}
+function lookDir(eye,yaw,pitch){
+  const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
+  const f=[cy*cp,sp,sy*cp];           // forward
+  const r=[ -sy,0,cy ];               // right (world up = +y)
+  const u=[-cy*sp,cp,-sy*sp];
+  const o=new Float32Array(16);
+  o[0]=r[0];o[4]=r[1];o[8]=r[2];
+  o[1]=u[0];o[5]=u[1];o[9]=u[2];
+  o[2]=-f[0];o[6]=-f[1];o[10]=-f[2];
+  o[12]=-(r[0]*eye[0]+r[1]*eye[1]+r[2]*eye[2]);
+  o[13]=-(u[0]*eye[0]+u[1]*eye[1]+u[2]*eye[2]);
+  o[14]= (f[0]*eye[0]+f[1]*eye[1]+f[2]*eye[2]);
+  o[15]=1;return {m:o,f,r,u};
+}
+
+// --- shaders (RigScene.cpp equivalents) ------------------------------------
+const meshVS=`#version 300 es
+uniform mat4 transform; in vec3 pos; in vec2 uv; out vec2 texVar;
+void main(){ texVar = uv; gl_Position = transform * vec4(pos, 1.0); }`;
+// cameraFS: cone alpha, premultiplied for ONE/ONE accumulation
+const meshFS=`#version 300 es
+precision highp float; uniform sampler2D tex; in vec2 texVar; out vec4 color;
+void main(){
+  vec3 c = texture(tex, texVar).rgb;
+  float cone = max(1.0/255.0, 1.0 - 2.0*length(texVar - 0.5));
+  color = vec4(c * cone, cone);
+}`;
+const quadVS=`#version 300 es
+in vec2 tex; out vec2 texVar;
+void main(){ gl_Position = vec4(2.0*tex-1.0, 0.0, 1.0); texVar = tex; }`;
+// resolveFS: unpremultiply
+const quadFS=`#version 300 es
+precision highp float; uniform sampler2D tex; in vec2 texVar; out vec4 color;
+void main(){
+  vec4 a = texture(tex, texVar);
+  color = vec4(a.a > 0.0 ? a.rgb / a.a : vec3(0.0), 1.0);
+}`;
+function shader(type,src){const s=gl.createShader(type);gl.shaderSource(s,src);gl.compileShader(s);
+  if(!gl.getShaderParameter(s,gl.COMPILE_STATUS))throw gl.getShaderInfoLog(s);return s}
+function program(vs,fs,attrs){const p=gl.createProgram();gl.attachShader(p,shader(gl.VERTEX_SHADER,vs));
+  gl.attachShader(p,shader(gl.FRAGMENT_SHADER,fs));
+  (attrs||[]).forEach((name,loc)=>gl.bindAttribLocation(p,loc,name));
+  gl.linkProgram(p);
+  if(!gl.getProgramParameter(p,gl.LINK_STATUS))throw gl.getProgramInfoLog(p);return p}
+
+// --- state -----------------------------------------------------------------
+let scene=null, meshes={}, textures={}, frames=[], frameIdx=0, playing=false;
+let eye=[0,0,0], yaw=0.0, pitch=0.0;
+const progMesh = gl && program(meshVS, meshFS, ["pos","uv"]);
+const progQuad = gl && program(quadVS, quadFS, ["tex"]);
+let accumFBO=null, accumTex=null, fbw=0, fbh=0;
+const quadBuf = gl && gl.createBuffer();
+if (gl){gl.bindBuffer(gl.ARRAY_BUFFER, quadBuf);
+  gl.bufferData(gl.ARRAY_BUFFER, new Float32Array([0,0,1,0,0,1,1,1]), gl.STATIC_DRAW);}
+window.viewerState = {ready:false, drawn:0, frames:0, floatOK};
+
+function setupAccum(w,h){
+  if (accumFBO && w===fbw && h===fbh) return;
+  fbw=w; fbh=h;
+  if (accumTex) gl.deleteTexture(accumTex);
+  if (accumFBO) gl.deleteFramebuffer(accumFBO);
+  accumTex = gl.createTexture();
+  gl.bindTexture(gl.TEXTURE_2D, accumTex);
+  gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_MIN_FILTER, gl.NEAREST);
+  gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_MAG_FILTER, gl.NEAREST);
+  gl.texStorage2D(gl.TEXTURE_2D, 1, floatOK ? gl.RGBA32F : gl.RGBA8, w, h);
+  accumFBO = gl.createFramebuffer();
+  gl.bindFramebuffer(gl.FRAMEBUFFER, accumFBO);
+  gl.framebufferTexture2D(gl.FRAMEBUFFER, gl.COLOR_ATTACHMENT0, gl.TEXTURE_2D, accumTex, 0);
+}
+
+async function loadMesh(frame, id){
+  const key = frame+"/"+id;
+  if (meshes[key]) return meshes[key];
+  const buf = await (await fetch(`/mesh/${frame}/${id}.bin`)).arrayBuffer();
+  const [nv, nf] = new Uint32Array(buf, 0, 2);
+  const pos = new Float32Array(buf, 8, nv*3);
+  const uv  = new Float32Array(buf, 8+nv*12, nv*2);
+  const idx = new Uint32Array(buf, 8+nv*20, nf*3);
+  const vao = gl.createVertexArray();
+  gl.bindVertexArray(vao);
+  const pb=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,pb);gl.bufferData(gl.ARRAY_BUFFER,pos,gl.STATIC_DRAW);
+  gl.enableVertexAttribArray(0);gl.vertexAttribPointer(0,3,gl.FLOAT,false,0,0);
+  const ub=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,ub);gl.bufferData(gl.ARRAY_BUFFER,uv,gl.STATIC_DRAW);
+  gl.enableVertexAttribArray(1);gl.vertexAttribPointer(1,2,gl.FLOAT,false,0,0);
+  const ib=gl.createBuffer();gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,ib);gl.bufferData(gl.ELEMENT_ARRAY_BUFFER,idx,gl.STATIC_DRAW);
+  gl.bindVertexArray(null);
+  return meshes[key] = {vao, count: nf*3};
+}
+async function loadTexture(frame, id){
+  const key = frame+"/"+id;
+  if (textures[key]) return textures[key];
+  const img = await createImageBitmap(await (await fetch(`/color/${frame}/${id}.png`)).blob());
+  const t = gl.createTexture();
+  gl.bindTexture(gl.TEXTURE_2D, t);
+  gl.texImage2D(gl.TEXTURE_2D, 0, gl.RGBA, gl.RGBA, gl.UNSIGNED_BYTE, img);
+  gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_MIN_FILTER, gl.LINEAR);
+  gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_MAG_FILTER, gl.LINEAR);
+  gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_WRAP_S, gl.CLAMP_TO_EDGE);
+  gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_WRAP_T, gl.CLAMP_TO_EDGE);
+  return textures[key] = t;
+}
+
+async function draw(){
+  if (!scene) return;
+  const frame = frames[frameIdx];
+  const w = canvas.clientWidth, h = canvas.clientHeight;
+  canvas.width = w; canvas.height = h;
+  setupAccum(w, h);
+  const look = lookDir(eye, yaw, pitch);
+  const vp = mul(persp(1.2, w/h, 0.05, 2000.0), look.m);
+
+  // accumulate pass (RigScene::render: blend ONE, ONE into float FBO)
+  gl.bindFramebuffer(gl.FRAMEBUFFER, accumFBO);
+  gl.viewport(0,0,w,h);
+  gl.clearColor(0,0,0,0); gl.clear(gl.COLOR_BUFFER_BIT);
+  gl.disable(gl.DEPTH_TEST);
+  gl.enable(gl.BLEND); gl.blendFunc(gl.ONE, gl.ONE);
+  gl.useProgram(progMesh);
+  gl.uniformMatrix4fv(gl.getUniformLocation(progMesh,"transform"), false, vp);
+  let drawn = 0;
+  for (const c of scene.cameras){
+    const mesh = meshes[frame+"/"+c.id], tex = textures[frame+"/"+c.id];
+    if (!mesh || !tex) continue;
+    gl.activeTexture(gl.TEXTURE0);
+    gl.bindTexture(gl.TEXTURE_2D, tex);
+    gl.uniform1i(gl.getUniformLocation(progMesh,"tex"), 0);
+    gl.bindVertexArray(mesh.vao);
+    gl.drawElements(gl.TRIANGLES, mesh.count, gl.UNSIGNED_INT, 0);
+    drawn++;
+  }
+  gl.bindVertexArray(null);
+
+  // resolve pass (resolveFS)
+  gl.bindFramebuffer(gl.FRAMEBUFFER, null);
+  gl.viewport(0,0,w,h);
+  gl.disable(gl.BLEND);
+  gl.useProgram(progQuad);
+  gl.activeTexture(gl.TEXTURE0);
+  gl.bindTexture(gl.TEXTURE_2D, accumTex);
+  gl.uniform1i(gl.getUniformLocation(progQuad,"tex"), 0);
+  gl.bindBuffer(gl.ARRAY_BUFFER, quadBuf);
+  gl.enableVertexAttribArray(0);
+  gl.vertexAttribPointer(0,2,gl.FLOAT,false,0,0);
+  gl.drawArrays(gl.TRIANGLE_STRIP, 0, 4);
+
+  window.viewerState.drawn = drawn;
+  hud.textContent = `frame ${frame}  (${frameIdx+1}/${frames.length})  cameras ${drawn}/${scene.cameras.length}`
+    + `\neye ${eye.map(v=>v.toFixed(2))}  yaw ${yaw.toFixed(2)} pitch ${pitch.toFixed(2)}`
+    + `\n[drag] look  [WASD/QE] move  [wheel] dolly  [[/]] frame  [space] play`;
+}
+
+async function ensureFrame(i){
+  const frame = frames[i];
+  await Promise.all(scene.cameras.flatMap(c => [loadMesh(frame,c.id), loadTexture(frame,c.id)]));
+}
+
+async function main(){
+  scene = await (await fetch("/scene.json")).json();
+  frames = scene.frames;
+  window.viewerState.frames = frames.length;
+  // start at the rig centroid looking along the mean camera forward
+  const n = scene.cameras.length;
+  eye = [0,1,2].map(k => scene.cameras.reduce((s,c)=>s+c.position[k],0)/n);
+  const fwd = [0,1,2].map(k => scene.cameras.reduce((s,c)=>s+c.forward[k],0)/n);
+  yaw = Math.atan2(fwd[2], fwd[0]); pitch = Math.asin(Math.max(-1,Math.min(1,fwd[1])));
+  await ensureFrame(0);
+  // readahead (GlViewer.cpp:74)
+  for (let i=1; i<Math.min(scene.readahead, frames.length); i++) ensureFrame(i);
+  window.viewerState.ready = true;
+  const loop = async () => {
+    if (playing && frames.length > 1){
+      frameIdx = (frameIdx+1) % frames.length;
+      await ensureFrame(frameIdx);
+      ensureFrame((frameIdx+1) % frames.length);
+    }
+    await draw();
+    requestAnimationFrame(loop);
+  };
+  loop();
+}
+
+// --- input -----------------------------------------------------------------
+let dragging=false, lx=0, ly=0;
+canvas.addEventListener("mousedown", e=>{dragging=true;lx=e.clientX;ly=e.clientY});
+window.addEventListener("mouseup", ()=>dragging=false);
+window.addEventListener("mousemove", e=>{
+  if(!dragging)return;
+  yaw += (e.clientX-lx)*0.004; pitch -= (e.clientY-ly)*0.004;
+  pitch = Math.max(-1.5, Math.min(1.5, pitch));
+  lx=e.clientX; ly=e.clientY;
+});
+canvas.addEventListener("wheel", e=>{
+  const look=lookDir(eye,yaw,pitch);
+  const s = e.deltaY>0?-0.1:0.1;
+  eye = eye.map((v,k)=>v+look.f[k]*s);
+  e.preventDefault();
+});
+window.addEventListener("keydown", async e=>{
+  const look=lookDir(eye,yaw,pitch); const s=0.08;
+  if(e.key==="w")eye=eye.map((v,k)=>v+look.f[k]*s);
+  if(e.key==="s")eye=eye.map((v,k)=>v-look.f[k]*s);
+  if(e.key==="a")eye=eye.map((v,k)=>v-look.r[k]*s);
+  if(e.key==="d")eye=eye.map((v,k)=>v+look.r[k]*s);
+  if(e.key==="q")eye[1]-=s;
+  if(e.key==="e")eye[1]+=s;
+  if(e.key===" "){playing=!playing; e.preventDefault();}
+  if(e.key==="]"){frameIdx=(frameIdx+1)%frames.length; await ensureFrame(frameIdx);}
+  if(e.key==="["){frameIdx=(frameIdx-1+frames.length)%frames.length; await ensureFrame(frameIdx);}
+});
+if (gl) main().catch(e => hud.textContent = "error: " + e);
+</script></body></html>
+"""
