@@ -185,7 +185,7 @@ def main():
     def rephoto_mssim(ctx, disparity):
         params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
         rays_planar = jnp.moveaxis(ctx.dst_rays[0], -1, 0)
-        sampled, k_valid = warp_pallas.project_sample_planar_v4(
+        sampled, k_valid, _ = warp_pallas.project_sample_planar_v4(
             ctx.src_imgs_t, params, jax.tree.map(lambda a: a[0], ctx.dst_cams).position,
             disparity, rays_planar,
         )

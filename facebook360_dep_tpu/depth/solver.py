@@ -122,10 +122,13 @@ def make_level_context(
         var_noise_floor=jnp.asarray(floor, jnp.float32),
         var_high_thresh=jnp.asarray(var_high_thresh, jnp.float32),
         dst_rays=dst_rays,
-        # bf16 halves sampler DMA; the MXU's default precision rounds its
-        # inputs to bf16 regardless, so this loses nothing
+        # f32 throughout: bf16-sampled colors corrupt the SSD of small
+        # diffs (|dst-src| ~ 1e-2 at the optimum) by ~30%, which flips
+        # proposal/ping-pong decisions at weakly-textured pixels — measured
+        # as the round-2 RMSE tail. The matmul runs at HIGHEST precision for
+        # the same reason (warp_pallas.MATMUL_PRECISION).
         src_imgs_t=(
-            warp_pallas.planar_for_sampling(src_imgs[..., :3]).astype(jnp.bfloat16)
+            warp_pallas.planar_for_sampling(src_imgs[..., :3]).astype(jnp.float32)
             if use_pallas_sampler
             else None
         ),

@@ -43,6 +43,12 @@ from . import warp_pallas
 # Algorithm constants (Derp.h:26-48)
 SEARCH_WINDOW_RADIUS = 1
 MIN_OVERLAPPING_CAMS = 2
+# Minimum valid members for a bias-compensated 3x3 patch SSD. With one
+# member the compensation is an identity (SSD == 0: a phantom perfect score
+# that random proposals latch onto at mask edges under scattered candidate
+# maps); the reference never hits this because it samples full clamped
+# patches (DerpUtil computeSSD). Majority support keeps the statistic sane.
+MIN_PATCH_SUPPORT = 5
 NUM_DEPTHS = 150
 RANDOM_PROP_MAX_COST = 5.0
 RANDOM_PROP_HIGH_VAR_DEVIATION = 0.1
@@ -129,7 +135,7 @@ def per_src_ssd(ctx_pos_rays, cam_src, dst_img, src_img, disparity, radius=SEARC
     biased = sampling.box_sum(d2, radius) * scale
     mean_diff = sampling.box_sum(diff, radius) / cnt_safe[..., None]
     unbiased = jnp.maximum(biased - n * jnp.sum(mean_diff * mean_diff, axis=-1), 0.0)
-    return biased, unbiased, valid
+    return biased, unbiased, valid & (cnt >= MIN_PATCH_SUPPORT)
 
 
 def combine_ssds(biased, unbiased, valid, variance):
@@ -219,15 +225,21 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
         disparity_map = jnp.broadcast_to(jnp.asarray(disparity, jnp.float32), (h, w))
         rays_planar = jnp.moveaxis(ctx.dst_rays, -1, 0)  # (3, H, W)
         params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
-        sampled, k_valid = warp_pallas.project_sample_planar_v4(
+        sampled, k_valid, clipped = warp_pallas.project_sample_planar_v4(
             ctx.src_imgs_t, params, ctx.cam_dst.position, disparity_map, rays_planar
         )
         dst_planar = jnp.moveaxis(ctx.dst_img[..., :3], -1, 0)
-        return warp_pallas.ssd_combine(
+        cost, confidence = warp_pallas.ssd_combine(
             sampled, k_valid, dst_planar, ctx.variance, ctx.exclude_idx,
             min_keep=MIN_OVERLAPPING_CAMS - 1, flt_max=float(FLT_MAX),
             min_var=float(MIN_VAR),
         )
+        # any non-self source visible but unsampled (window overflow under a
+        # scattered candidate map) -> the pixel's cost is unevaluable; keeping
+        # it comparable would fabricate false minima via the keep^2 rescale
+        not_self = (jnp.arange(n) != ctx.exclude_idx).astype(clipped.dtype)
+        any_clip = jnp.max(clipped * not_self[:, None, None], axis=0) > 0
+        return jnp.where(any_clip, FLT_MAX, cost), confidence
 
     def one(cam_src, src_img):
         return per_src_ssd(pos_rays, cam_src, ctx.dst_img, src_img, disparity)
@@ -262,7 +274,7 @@ def ssd_planar(dst_img, sampled_planar, valid, radius=SEARCH_WINDOW_RADIUS):
     biased = box2(d2) * scale
     mean_diff = box2(diff) / cnt_safe[:, None]
     unbiased = jnp.maximum(biased - n_patch * jnp.sum(mean_diff * mean_diff, axis=1), 0.0)
-    return biased, unbiased, valid
+    return biased, unbiased, valid & (cnt >= MIN_PATCH_SUPPORT)
 
 
 def brute_force_disparity(

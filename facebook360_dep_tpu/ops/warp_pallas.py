@@ -41,9 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_H = 16
 TILE_W = 128
 # MXU precision for the interpolation contraction. DEFAULT rounds the window
-# to bf16 (error ~2e-3 — below the 1/255 quantization of 8-bit sources);
-# HIGHEST is f32-exact at ~1.35x the eval cost. Exactness tests force HIGHEST.
-MATMUL_PRECISION = jax.lax.Precision.DEFAULT
+# to bf16: a ~2e-3 color error, which is ~30%% of the |dst-src| residual at
+# the cost optimum — enough to flip solver decisions at low-texture pixels
+# (the round-2 RMSE tail). HIGHEST is f32-exact at ~1.35x the eval cost.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 # Source window per tile. Covers warp magnifications up to ~WW/TILE_W in x
 # and ~WH/TILE_H in y; beyond that samples are flagged invalid.
 WINDOW_H = 48   # sublane axis: origin aligned to 8, usable span WH-8
@@ -324,7 +325,7 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, precision=None):
     pi = float(np.pi)
 
     def _kernel(params_ref, dstpos_ref, disp_ref, rays_ref, src_ref,
-                out_ref, valid_ref, win_ref, sems):
+                out_ref, valid_ref, clip_ref, win_ref, sems):
         n_idx = pl.program_id(0)
         hs, ws = src_ref.shape[2], src_ref.shape[3]
         th, tw = disp_ref.shape
@@ -392,8 +393,20 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, precision=None):
         xt = jnp.clip(jnp.where(finite, xt, 0.0), 0.0, ws - 1.0)
         yt = jnp.clip(jnp.where(finite, yt, 0.0), 0.0, hs - 1.0)
 
-        ox = jnp.clip(jnp.min(xt).astype(jnp.int32) // 128, 0, max((ws - ww) // 128, 0)) * 128
-        oy = jnp.clip(jnp.min(yt).astype(jnp.int32) // 8, 0, max((hs - wh) // 8, 0)) * 8
+        # Window anchor from VALID pixels only, centered on their span.
+        # Invalid pixels clamp to coord 0 above; letting them into the min
+        # drags the window away from the tile's real source footprint and
+        # silently invalidates visible sources (edge tiles straddling the
+        # source boundary) — the round-2 RMSE-tail bug.
+        # (min-based anchoring keeps the strongest guaranteed span under the
+        # 128/8 alignment: x >= ww-127, y >= wh-7 from the valid min.)
+        big = jnp.float32(1e9)
+        xmin = jnp.min(jnp.where(ok0, xt, big))
+        ymin = jnp.min(jnp.where(ok0, yt, big))
+        xmin = jnp.where(xmin >= big, 0.0, xmin)
+        ymin = jnp.where(ymin >= big, 0.0, ymin)
+        ox = jnp.clip(xmin.astype(jnp.int32) // 128, 0, max((ws - ww) // 128, 0)) * 128
+        oy = jnp.clip(ymin.astype(jnp.int32) // 8, 0, max((hs - wh) // 8, 0)) * 8
         ox = pl.multiple_of(ox, 128)
         oy = pl.multiple_of(oy, 8)
         # one DMA per channel into the stacked (C*WH, WW) window
@@ -411,26 +424,62 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, precision=None):
         in_win_t = (xt >= ox) & (xt <= ox + (ww - 1.0)) & (yt >= oy) & (yt <= oy + (wh - 1.0))
         ok_t = (ok0 & in_win_t).astype(jnp.float32)
         valid_ref[...] = ok_t.reshape(1, th, tw).astype(valid_ref.dtype)
+        # geometrically visible but outside the DMA window: the sample is
+        # MISSING, not invisible. Consumers must treat the whole pixel's cost
+        # as unevaluable (FLT_MAX), or the keep^2 renormalization fabricates
+        # cheap false minima wherever scattered candidate maps (random
+        # proposals) blow up a tile's source footprint — the round-2
+        # catastrophic-pixel bug.
+        clip_ref[...] = (ok0 & ~in_win_t).astype(clip_ref.dtype).reshape(1, th, tw)
 
         # ---- hat weights with pixels on the LANE axis (no transposes) ----
+        # Mosaic feeds the MXU in bf16 no matter what `precision` asks, so
+        # every matmul operand here must be exactly bf16-representable or
+        # split. Measured on v5e: unmitigated, the sampled colors carry
+        # ~2.5e-3 of bf16 rounding — ~30% of the |dst-src| residual at the
+        # cost optimum, which flipped solver decisions at low-texture pixels
+        # (the round-2 RMSE tail).
+        #   (a) subpixel positions quantize to 1/256 px, making the hat
+        #       weights k/256 (k<=255): exact in bf16's 8 significand bits
+        #       (coordinate cost: <=1/512 px, far below projection noise);
+        #   (b) the image window splits hi = bf16(win), lo = win - hi and
+        #       contracts twice (lo's rounding error is ~2e-3 * 4e-3 = 8e-6);
+        #   (c) the y-contraction stays on the VPU as f32 pairwise adds —
+        #       jnp.sum over sublanes also lowers through the MXU.
         lxr = jnp.clip(xt - ox.astype(jnp.float32), 0.0, ww - 1.0).reshape(1, p)
         lyr = jnp.clip(yt - oy.astype(jnp.float32), 0.0, wh - 1.0).reshape(1, p)
+        lxr = jnp.round(lxr * 256.0) * (1.0 / 256.0)
+        lyr = jnp.round(lyr * 256.0) * (1.0 / 256.0)
         jx = jax.lax.broadcasted_iota(jnp.int32, (ww, p), 0).astype(jnp.float32)
-        wxT = jnp.maximum(1.0 - jnp.abs(lxr - jx), 0.0)  # (WW, P)
+        wxT = jnp.maximum(1.0 - jnp.abs(lxr - jx), 0.0)  # (WW, P), bf16-exact
         jy = jax.lax.broadcasted_iota(jnp.int32, (wh, p), 0).astype(jnp.float32)
-        wyT = jnp.maximum(1.0 - jnp.abs(lyr - jy), 0.0)  # (WH, P)
+        wyT = jnp.maximum(1.0 - jnp.abs(lyr - jy), 0.0)  # (WH, P), bf16-exact
 
         for cp in copies:
             cp.wait()
         win = win_ref[...].astype(jnp.float32)  # (C*WH, WW)
-        tmp = jax.lax.dot_general(
-            win, wxT, (((1,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=jnp.float32,
-        )  # (C*WH, P)
+        win_hi = win.astype(jnp.bfloat16).astype(jnp.float32)
+        win_lo = win - win_hi
+
+        def xdot(lhs):
+            return jax.lax.dot_general(
+                lhs, wxT, (((1,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32,
+            )
+
+        tmp = xdot(win_hi) + xdot(win_lo)  # (C*WH, P)
         okr = ok_t.reshape(1, p)
         for ci in range(c):
-            res = jnp.sum(tmp[ci * wh:(ci + 1) * wh] * wyT, axis=0, keepdims=True)
-            out_ref[0, ci] = (res * okr).reshape(th, tw).astype(out_ref.dtype)
+            rows = tmp[ci * wh:(ci + 1) * wh] * wyT  # (WH, P) f32 on the VPU
+            n_rows = wh
+            while n_rows > 1:
+                half = n_rows // 2
+                folded = rows[:half] + rows[half:2 * half]
+                if n_rows % 2:
+                    folded = folded.at[:1].add(rows[2 * half:n_rows])
+                rows = folded
+                n_rows = half
+            out_ref[0, ci] = (rows * okr).reshape(th, tw).astype(out_ref.dtype)
 
     return _kernel
 
@@ -448,7 +497,8 @@ def project_sample_planar_v4(
 ):
     """Fused plane-sweep projection + bilinear sampling (kernel v4: see the
     section comment). Returns channel-planar (sampled (N, C, H, W), valid
-    (N, H, W))."""
+    (N, H, W), clipped (N, H, W) — visible-but-unsampled flags whose pixels'
+    costs must be treated as unevaluable)."""
     if interpret is None:
         interpret = _default_interpret()
     n = src_planar.shape[0]
@@ -460,7 +510,7 @@ def project_sample_planar_v4(
     ww = min(V4_WINDOW_W, (ws // 128) * 128) or min(V4_WINDOW_W, ws)
     wh = min(V4_WINDOW_H, (hs // 8) * 8) or min(V4_WINDOW_H, hs)
 
-    out, valid = pl.pallas_call(
+    out, valid, clipped = pl.pallas_call(
         _make_project_kernel_v4(ww, wh, c, precision),
         grid=grid,
         in_specs=[
@@ -473,9 +523,11 @@ def project_sample_planar_v4(
         out_specs=(
             pl.BlockSpec((1, c, TILE_H, TILE_W), lambda s, i, j: (s, 0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, c, h, w), out_dtype),
+            jax.ShapeDtypeStruct((n, h, w), out_dtype),
             jax.ShapeDtypeStruct((n, h, w), out_dtype),
         ),
         scratch_shapes=[
@@ -490,7 +542,7 @@ def project_sample_planar_v4(
         rays_p.astype(jnp.float32),
         src_planar,
     )
-    return out[:, :, :h0, :w0], valid[:, :h0, :w0]
+    return out[:, :, :h0, :w0], valid[:, :h0, :w0], clipped[:, :h0, :w0]
 
 
 def pack_camera_params_traced(cams) -> jnp.ndarray:
@@ -595,7 +647,9 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
             biased = _box(d2) * scale
             unbiased = jnp.maximum(biased - n_patch * md_sq, 0.0)
 
-            v = _core(vld) > 0.0
+            # majority patch support (cost.MIN_PATCH_SUPPORT): single-member
+            # patches make the bias compensation an identity (phantom zero)
+            v = (_core(vld) > 0.0) & (cnt >= 5.0)
             b = jnp.where(v, biased, neg)
             u = jnp.where(v, unbiased, 0.0)
             is1 = b > b1
