@@ -42,6 +42,12 @@ def main(argv=None):
     p.add_argument("--force_recompute", type=lambda v: str(v).lower() in ("1", "true"), default=False)
     p.add_argument("--run_depth_estimation", type=lambda v: str(v).lower() in ("1", "true"), default=True)
     p.add_argument("--run_convert_to_binary", type=lambda v: str(v).lower() in ("1", "true"), default=True)
+    p.add_argument("--queue_dir", default="", help=(
+        "shared-filesystem broker root: publish chunk jobs for standalone "
+        "farm.worker processes on any host instead of running locally "
+        "(the reference's RabbitMQ master role, pipeline.py:173-248)"))
+    p.add_argument("--no_worker_timeout", type=float, default=0.0,
+                   help="seconds without live workers before aborting (0 = broker default 180)")
     args = p.parse_args(argv)
 
     rig_path = args.rig or os.path.join(args.input_root, "rigs/rig_calibrated.json")
@@ -201,7 +207,14 @@ def main(argv=None):
             )
         )
 
-    pipeline = runner.Pipeline(workers=args.workers, force_recompute=args.force_recompute)
+    if args.queue_dir:
+        pipeline = runner.DistributedPipeline(
+            args.queue_dir,
+            force_recompute=args.force_recompute,
+            no_worker_timeout=args.no_worker_timeout or None,
+        )
+    else:
+        pipeline = runner.Pipeline(workers=args.workers, force_recompute=args.force_recompute)
     pipeline.run(stages, chunks)
 
 

@@ -218,3 +218,37 @@ def test_distributed_pipeline_end_to_end(tmp_path):
     assert sorted(os.listdir(out)) == [f"{c.name}.txt" for c in chunks]
     # rerun with no workers alive: all cached, publishes nothing, returns fast
     master.run([stage], chunks)
+
+
+def test_render_pipeline_selects_distributed_master(tmp_path, monkeypatch):
+    """--queue_dir flips the orchestrator into broker-master mode
+    (reference render.py master role)."""
+    from facebook360_dep_tpu.cli import render_pipeline
+    from facebook360_dep_tpu.core import camera as cam
+    from facebook360_dep_tpu.render import synthetic
+
+    root = tmp_path / "proj"
+    (root / "rigs").mkdir(parents=True)
+    rig = synthetic.make_test_rig(num_cameras=2, resolution=(16, 12))
+    cam.save_rig(str(root / "rigs/rig_calibrated.json"), rig)
+
+    created = {}
+
+    class FakeDist:
+        def __init__(self, queue_root, force_recompute=False, no_worker_timeout=None):
+            created.update(queue_root=queue_root, nwt=no_worker_timeout)
+
+        def run(self, stages, chunks):
+            created["stages"] = [s.name for s in stages]
+            created["chunks"] = len(chunks)
+
+    monkeypatch.setattr(runner, "DistributedPipeline", FakeDist)
+    render_pipeline.main([
+        "--input_root", str(root), "--output_root", str(root / "out"),
+        "--first", "000000", "--last", "000003", "--chunk_size", "2",
+        "--queue_dir", str(tmp_path / "q"), "--no_worker_timeout", "7",
+    ])
+    assert created["queue_root"] == str(tmp_path / "q")
+    assert created["nwt"] == 7.0
+    assert created["chunks"] == 2
+    assert any("depth" in s for s in created["stages"]), created["stages"]
