@@ -65,8 +65,11 @@ def test_derp_rephoto_contract(project, caplog):
         metrics["rephoto_mssim_b"][-1],
     ])
     # tiny 2-level synthetic run: hold a floor rather than the reference's
-    # 90.0 +-0.05 contract (which binds to its S3 dataset)
-    assert mssim > 70.0, mssim
+    # 90.0 +-0.05 contract (which binds to its S3 dataset and resolution —
+    # MSSIM's 11 px window penalizes 96 px images). Deterministic solve
+    # measures 87.1 here; 85 leaves platform margin. At 2K the bench
+    # reports ~99.4 (BENCH detail rephoto_mssim_pct).
+    assert mssim > 85.0, mssim
 
 
 def test_calibration_artificial_points_contract(tmp_path):
