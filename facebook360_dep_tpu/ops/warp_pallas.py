@@ -40,11 +40,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 16
 TILE_W = 128
-# MXU precision for the interpolation contraction. DEFAULT rounds the window
-# to bf16: a ~2e-3 color error, which is ~30%% of the |dst-src| residual at
-# the cost optimum — enough to flip solver decisions at low-texture pixels
-# (the round-2 RMSE tail). HIGHEST is f32-exact at ~1.35x the eval cost.
-MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+# MXU precision for the interpolation contractions. Mosaic rounds operands
+# to bf16 at DEFAULT regardless of the flag, and HIGHEST multiplies the pass
+# count (~2.4x wall-clock at 2K) — so the kernels are built to be EXACT at
+# DEFAULT instead: subpixel weights quantize to 1/256 px (hat weights k/256
+# are exact in bf16's 8 significand bits) and the image window splits
+# hi = bf16(win) / lo = win - hi across two contractions (lo's own bf16
+# rounding contributes <= ~1e-5). Exactness tests may still force HIGHEST.
+MATMUL_PRECISION = jax.lax.Precision.DEFAULT
 # Source window per tile. Covers warp magnifications up to ~WW/TILE_W in x
 # and ~WH/TILE_H in y; beyond that samples are flagged invalid.
 WINDOW_H = 48   # sublane axis: origin aligned to 8, usable span WH-8
@@ -102,6 +105,10 @@ def _make_kernel(ww: int, wh: int, c: int, precision=None):
         in_win = (lx >= 0.0) & (lx <= ww - 1.0) & (ly >= 0.0) & (ly <= wh - 1.0)
         lx = jnp.clip(lx, 0.0, ww - 1.0)
         ly = jnp.clip(ly, 0.0, wh - 1.0)
+        # 1/256-px quantization -> hat weights exactly representable in bf16
+        # (see MATMUL_PRECISION comment)
+        lx = jnp.round(lx * 256.0) * (1.0 / 256.0)
+        ly = jnp.round(ly * 256.0) * (1.0 / 256.0)
 
         # hat weights: exactly the two bilinear taps per axis, shared by
         # all channels
