@@ -17,13 +17,23 @@ def _smooth_warp(h, w, hs, ws, mag=1.0, seed=0):
     return (grid * scale + shift).astype(np.float32)
 
 
+def _quantize_coords(coords):
+    """The kernels quantize subpixel positions to 1/256 px so the bilinear
+    hat weights are exactly bf16-representable on the MXU (warp_pallas
+    MATMUL_PRECISION comment); the reference must sample at the same spots."""
+    c = np.asarray(coords, np.float32).copy()
+    c[..., 0] = np.round((c[..., 0] - 0.5) * 256.0) / 256.0 + 0.5
+    c[..., 1] = np.round((c[..., 1] - 0.5) * 256.0) / 256.0 + 0.5
+    return c
+
+
 def test_matches_bilinear_reference():
     rng = np.random.RandomState(1)
     hs, ws = 96, 640
     img = rng.rand(hs, ws, 3).astype(np.float32)
     coords = _smooth_warp(96, 640, hs, ws, mag=0.9)
     out, valid = warp_pallas.warp_sample(jnp.asarray(img), jnp.asarray(coords), interpret=True)
-    ref = np.asarray(sampling.bilinear_sample(jnp.asarray(img), jnp.asarray(coords)))
+    ref = np.asarray(sampling.bilinear_sample(jnp.asarray(img), jnp.asarray(_quantize_coords(coords))))
     out, valid = np.asarray(out), np.asarray(valid)
     assert valid.mean() > 0.9
     ok = valid > 0.5
@@ -37,7 +47,7 @@ def test_padding_and_arbitrary_size():
     coords = _smooth_warp(45, 330, hs, ws, mag=0.8)  # non-tile-aligned
     out, valid = warp_pallas.warp_sample(jnp.asarray(img), jnp.asarray(coords), interpret=True)
     assert out.shape == (45, 330, 3)
-    ref = np.asarray(sampling.bilinear_sample(jnp.asarray(img), jnp.asarray(coords)))
+    ref = np.asarray(sampling.bilinear_sample(jnp.asarray(img), jnp.asarray(_quantize_coords(coords))))
     ok = np.asarray(valid) > 0.5
     assert ok.mean() > 0.8
     assert np.abs(np.asarray(out)[ok] - ref[ok]).max() < 1e-5
@@ -76,7 +86,7 @@ def test_clamp_to_edge_matches_reference():
     coords = grid.copy()
     coords[..., 0] -= 4.0  # pushes some x before the left edge
     out, valid = warp_pallas.warp_sample(jnp.asarray(img), jnp.asarray(coords.astype(np.float32)), interpret=True)
-    ref = np.asarray(sampling.bilinear_sample(jnp.asarray(img), jnp.asarray(coords.astype(np.float32))))
+    ref = np.asarray(sampling.bilinear_sample(jnp.asarray(img), jnp.asarray(_quantize_coords(coords))))
     ok = np.asarray(valid) > 0.5
     assert ok.all()
     assert np.abs(np.asarray(out)[ok] - ref[ok]).max() < 1e-5
