@@ -85,7 +85,7 @@ def main():
         h = colors.shape[1]
         fov = pipeline.generate_fov_masks(rig_dst, (h, w))
         return solver.make_level_context(
-            nrig, rig_dst, colors, fov, use_pallas_sampler=w >= 512,
+            nrig, rig_dst, colors, fov, use_pallas_sampler=True,
             full_height=hw(WIDTHS[0]), **kw
         )
 

@@ -391,9 +391,11 @@ class DepthEstimator:
                     var_noise_floor=self.opts.var_noise_floor,
                     var_high_thresh=self.opts.var_high_thresh,
                     full_height=self.full_height,
-                    # windowed Pallas sampler: worth its VMEM windows only at
-                    # wide levels (alignment margins dominate narrow images)
-                    use_pallas_sampler=w >= 512,
+                    # the windowed Pallas sampler wins at every level on TPU
+                    # (~10x at mid-pyramid widths; sources edge-pad to the
+                    # (8,128) DMA tiling below 128 px); on CPU backends the
+                    # interpret-mode kernel would be the slow path
+                    use_pallas_sampler=jax.default_backend() == "tpu",
                 )
                 # below the coarsest level, init from the coarser level's saved
                 # result (also how mid-pyramid resume works; DerpCLI.cpp:271-303)

@@ -327,14 +327,16 @@ V4_WINDOW_H = 32   # sublane axis: origin aligned to 8 -> y-magnification <= (32
 V4_WINDOW_W = 384  # lane axis: origin aligned to 128 -> x-magnification <= (384-128-2)/128
 
 
-def _make_project_kernel_v4(ww: int, wh: int, c: int, precision=None):
+def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precision=None):
+    """hs/ws are the TRUE source dims; src_ref may carry (8, 128)-aligned
+    edge padding beyond them (small pyramid levels)."""
     precision = MATMUL_PRECISION if precision is None else precision
     pi = float(np.pi)
 
     def _kernel(params_ref, dstpos_ref, disp_ref, rays_ref, src_ref,
                 out_ref, valid_ref, clip_ref, win_ref, sems):
         n_idx = pl.program_id(0)
-        hs, ws = src_ref.shape[2], src_ref.shape[3]
+        hs_pad, ws_pad = src_ref.shape[2], src_ref.shape[3]
         th, tw = disp_ref.shape
         p = th * tw
 
@@ -412,8 +414,8 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, precision=None):
         ymin = jnp.min(jnp.where(ok0, yt, big))
         xmin = jnp.where(xmin >= big, 0.0, xmin)
         ymin = jnp.where(ymin >= big, 0.0, ymin)
-        ox = jnp.clip(xmin.astype(jnp.int32) // 128, 0, max((ws - ww) // 128, 0)) * 128
-        oy = jnp.clip(ymin.astype(jnp.int32) // 8, 0, max((hs - wh) // 8, 0)) * 8
+        ox = jnp.clip(xmin.astype(jnp.int32) // 128, 0, max((ws_pad - ww) // 128, 0)) * 128
+        oy = jnp.clip(ymin.astype(jnp.int32) // 8, 0, max((hs_pad - wh) // 8, 0)) * 8
         ox = pl.multiple_of(ox, 128)
         oy = pl.multiple_of(oy, 8)
         # one DMA per channel into the stacked (C*WH, WW) window
@@ -510,15 +512,22 @@ def project_sample_planar_v4(
         interpret = _default_interpret()
     n = src_planar.shape[0]
     _, c, hs, ws = src_planar.shape
+    # edge-pad sources to the (8, 128) DMA tiling; the kernel keeps using
+    # the TRUE dims for projection/clipping, so small pyramid levels
+    # (w < 128) run the same kernel instead of falling back to XLA gathers
+    ph, pw = (-hs) % 8, (-ws) % 128
+    if ph or pw:
+        src_planar = jnp.pad(src_planar, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="edge")
+    hs_pad, ws_pad = hs + ph, ws + pw
     disparity_p, (h0, w0) = pad_to_tiles(disparity)
     rays_p, _ = pad_to_tiles_nhw(rays)
     h, w = disparity_p.shape
     grid = (n, h // TILE_H, w // TILE_W)
-    ww = min(V4_WINDOW_W, (ws // 128) * 128) or min(V4_WINDOW_W, ws)
-    wh = min(V4_WINDOW_H, (hs // 8) * 8) or min(V4_WINDOW_H, hs)
+    ww = min(V4_WINDOW_W, ws_pad)
+    wh = min(V4_WINDOW_H, hs_pad)
 
     out, valid, clipped = pl.pallas_call(
-        _make_project_kernel_v4(ww, wh, c, precision),
+        _make_project_kernel_v4(ww, wh, c, hs, ws, precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam params (N, PARAM_SIZE)
