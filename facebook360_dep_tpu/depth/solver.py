@@ -125,8 +125,11 @@ def make_level_context(
         # f32 throughout: bf16-sampled colors corrupt the SSD of small
         # diffs (|dst-src| ~ 1e-2 at the optimum) by ~30%, which flips
         # proposal/ping-pong decisions at weakly-textured pixels — measured
-        # as the round-2 RMSE tail. The matmul runs at HIGHEST precision for
-        # the same reason (warp_pallas.MATMUL_PRECISION).
+        # as the round-2 RMSE tail. The kernel contractions run at DEFAULT
+        # MXU precision but are built to be EXACT there (1/256 weight
+        # quantization + hi/lo window split, warp_pallas.MATMUL_PRECISION) —
+        # which requires this stack to be f32: with a bf16 stack the lo half
+        # is identically zero and the split degenerates.
         src_imgs_t=(
             warp_pallas.planar_for_sampling(src_imgs[..., :3]).astype(jnp.float32)
             if use_pallas_sampler

@@ -36,6 +36,13 @@ HEARTBEAT_SECONDS = 5.0
 QUEUE, CLAIMED, DONE, FAILED = "queue", "claimed", "done", "failed"
 
 
+def _sanitize_worker_id(worker_id: str) -> str:
+    """Worker ids embed in claim filenames as '<worker>.<job>.json'; any
+    character that could confuse the '.'-separated parse (or the filesystem)
+    becomes '-'. os.uname().nodename is frequently a dotted FQDN."""
+    return "".join(c if (c.isalnum() or c in "_-") else "-" for c in worker_id)
+
+
 class FileQueue:
     def __init__(self, root: str):
         self.root = root
@@ -49,7 +56,14 @@ class FileQueue:
 
     def publish(self, job_id: str, message: dict) -> None:
         """Durable message (delivery_mode=2 equivalent): write then rename so
-        readers never see a partial file."""
+        readers never see a partial file. Stale done/failed entries for the
+        same job (from a previous run against this queue root) are cleared so
+        re-published jobs must be re-acked before they count as done."""
+        for state in (DONE, FAILED):
+            try:
+                os.remove(os.path.join(self._dir(state), job_id + ".json"))
+            except FileNotFoundError:
+                pass
         tmp = os.path.join(self.root, f".tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump({"job_id": job_id, **message}, f)
@@ -86,21 +100,35 @@ class FileQueue:
         no_worker_timeout: float = NO_WORKER_TIMEOUT,
         lease: float = LEASE_SECONDS,
         poll: float = 0.25,
+        jobs: list[str] | None = None,
     ) -> None:
         """Block until ``expected_done`` jobs are acked. Requeues stale claims
         each poll; raises if no progress AND no live worker for
         ``no_worker_timeout`` (pipeline.py:238-246 watchdog) or on any
-        permanently failed job."""
+        permanently failed job.
+
+        ``jobs`` names the job_ids published by THIS run: completion then
+        requires exactly those to be acked, so done/failed files left by a
+        previous run against the same queue root cannot satisfy (or abort)
+        the wait prematurely."""
         t0 = time.time()
         last_activity = time.time()
         last_sig = None
+        want = None if jobs is None else {j + ".json" for j in jobs}
         while True:
             self.requeue_stale_claims(lease)
             c = self.counts()
-            if c[FAILED]:
-                fails = os.listdir(self._dir(FAILED))
+            fails = set(os.listdir(self._dir(FAILED)))
+            if want is not None:
+                fails &= want
+            if fails:
                 raise RuntimeError(f"jobs failed permanently: {sorted(fails)}")
-            if c[DONE] >= expected_done:
+            if want is not None:
+                done_now = len(want & set(os.listdir(self._dir(DONE))))
+                c = {**c, DONE: done_now}
+                if done_now >= len(want):
+                    return
+            elif c[DONE] >= expected_done:
                 return
             sig = (c[DONE], c[CLAIMED], c[QUEUE])
             if sig != last_sig:
@@ -119,6 +147,10 @@ class FileQueue:
     def claim(self, worker_id: str) -> tuple[str, dict] | None:
         """Atomically take one message (prefetch_count=1 equivalent). Returns
         (claim_path, message) or None if the queue is empty."""
+        # Claim files are '<worker>.<job>.json' and ack/requeue parse the job
+        # with split('.', 1) — a dotted worker id (FQDN nodenames!) would make
+        # them extract the wrong job name, so dots are squashed here.
+        worker_id = _sanitize_worker_id(worker_id)
         for fn in sorted(os.listdir(self._dir(QUEUE))):
             src = os.path.join(self._dir(QUEUE), fn)
             dst = os.path.join(self._dir(CLAIMED), f"{worker_id}.{fn}")

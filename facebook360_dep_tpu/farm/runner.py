@@ -191,6 +191,9 @@ class DistributedPipeline:
             timeout=self.stage_timeout,
             no_worker_timeout=self.no_worker_timeout,
             lease=self.lease_seconds,
+            # wait for THIS run's job ids: done/ entries left by a previous
+            # run against the same queue root must not satisfy the drain
+            jobs=[chunk.name for chunk in todo],
         )
         still_missing = stage.missing(chunks) if not self.force_recompute else []
         if still_missing:

@@ -714,14 +714,21 @@ def ssd_combine(
     n, c, h0, w0 = sampled.shape
     th, tw = K2_TILE_H, K2_TILE_W
     grid = ((h0 + th - 1) // th, (w0 + tw - 1) // tw)
-    # aligned leading pad (8, 128) + trailing so each (48, 512) DMA fits;
-    # validity pads with ZEROS (border semantics identical to a zero-padded
-    # XLA box_sum), colors pad with edge values
+    # Aligned leading pad (8, 128) + trailing so each (48, 512) DMA fits.
+    # The kernel's 3x3 box reads exactly ONE halo pixel past the image, and
+    # the XLA path's sampling.box_sum is reflect-101 — so the innermost ring
+    # of the pad mirrors the image (jnp.pad 'reflect'). Zero-padding validity
+    # here undercounts border patches (corner cnt = 4 < MIN_PATCH_SUPPORT)
+    # and invalidates the 4 corner pixels for EVERY source, which made
+    # check_coverage reject default-FOV rigs on the TPU hot path. Beyond the
+    # 1-px ring the filler is never read by any in-image pixel's box.
     tpad_r = grid[0] * th + (K2_IN_H - 8) - h0
     tpad_c = grid[1] * tw + (K2_IN_W - 128) - w0
-    pads = [(8, tpad_r), (128, tpad_c)]
+    ring = lambda a: [(0, 0)] * (a.ndim - 2) + [(1, 1), (1, 1)]  # noqa: E731
+    pads = [(7, tpad_r - 1), (127, tpad_c - 1)]
 
     def pad2(a, mode):
+        a = jnp.pad(a, ring(a), mode="reflect")
         cfg = [(0, 0)] * (a.ndim - 2) + pads
         return jnp.pad(a, cfg, mode=mode) if mode != "zero" else jnp.pad(a, cfg)
 

@@ -172,7 +172,12 @@ def process_frames_sharded(
                 src_imgs=imgs,
                 src_variance=jax.vmap(sampling.rgb_variance)(imgs),
                 src_imgs_t=(
-                    warp_pallas.planar_for_sampling(imgs[..., :3]).astype(jnp.bfloat16)
+                    # f32, NOT bf16: bf16-sampled colors corrupt the SSD (the
+                    # round-2 RMSE tail); the kernel's hi/lo window split
+                    # (warp_pallas MATMUL_PRECISION) needs the f32 stack —
+                    # with a bf16 stack lo is identically 0 and exactness is
+                    # lost. Must match solver.make_level_context.
+                    warp_pallas.planar_for_sampling(imgs[..., :3]).astype(jnp.float32)
                     if use_pallas
                     else None
                 ),

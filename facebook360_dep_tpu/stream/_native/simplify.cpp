@@ -374,5 +374,9 @@ extern "C" int simplify_mesh(
   }
   *out_nv = outNv;
   *out_nf = outNf;
-  return 0;
+  // The threshold-pass loop does not guarantee the budget: boundary-vertex
+  // refusal + flipped() rejections can stall convergence. Signal the caller
+  // (return 1) instead of silently overshooting — downstream .vtx/.idx
+  // consumers size buffers from target_faces.
+  return outNf > target_faces ? 1 : 0;
 }

@@ -8,6 +8,7 @@ ispc_texcomp ISPC) because they are serial, branchy host-side codecs.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 import threading
@@ -93,7 +94,16 @@ def simplify_mesh(
         out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.byref(out_nf),
     )
-    assert rc == 0, f"simplify_mesh failed: {rc}"
+    if rc == 1:
+        # convergence stalled (boundary refusals / flip rejections): the mesh
+        # is valid but over budget — surface the achieved count rather than
+        # failing, matching the reference's best-effort decimation
+        logging.getLogger("stream").warning(
+            "simplify_mesh: budget not reached: %d faces (target %d)",
+            out_nf.value, int(target_faces),
+        )
+    else:
+        assert rc == 0, f"simplify_mesh failed: {rc}"
     return out_v[: out_nv.value].copy(), out_f[: out_nf.value].copy()
 
 

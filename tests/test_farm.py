@@ -252,3 +252,48 @@ def test_render_pipeline_selects_distributed_master(tmp_path, monkeypatch):
     assert created["nwt"] == 7.0
     assert created["chunks"] == 2
     assert any("depth" in s for s in created["stages"]), created["stages"]
+
+
+def test_dotted_worker_id_parses_jobs_correctly(tmp_path):
+    """ADVICE r2 (medium): worker ids default to os.uname().nodename, often a
+    dotted FQDN. Claim filenames are '.'-separated, so dots in the worker id
+    used to corrupt the job name extracted by ack/requeue."""
+    q = broker.FileQueue(str(tmp_path / "q"))
+    q.publish("jobA", {"argv": ["true"]})
+    claim = q.claim("host.sub.example.com")
+    assert claim is not None
+    path, msg = claim
+    assert msg["job_id"] == "jobA"
+    # requeue parses the right job back out of the claim filename
+    time.sleep(0.01)
+    requeued = q.requeue_stale_claims(lease=0.0)
+    assert requeued == ["jobA"]
+    assert sorted(os.listdir(tmp_path / "q" / "queue")) == ["jobA.json"]
+    # and ack dedupes by job id, not by worker-prefixed name
+    path, _ = q.claim("other.host.example.com")
+    q.ack(path, {"worker": "other"})
+    assert sorted(os.listdir(tmp_path / "q" / "done")) == ["jobA.json"]
+
+
+def test_stale_done_entries_do_not_satisfy_rerun(tmp_path):
+    """ADVICE r2 (medium): a master rerun against a reused queue root must not
+    count a previous run's done/ files toward this run's drain."""
+    q = broker.FileQueue(str(tmp_path / "q"))
+    # previous run left two done entries (one for a job this run re-publishes)
+    for stale in ("jobA.json", "jobZ.json"):
+        with open(tmp_path / "q" / "done" / stale, "w") as f:
+            json.dump({"job_id": stale[:-5]}, f)
+    q.publish("jobA", {"argv": ["true"]})  # re-published: stale done cleared
+    assert not os.path.exists(tmp_path / "q" / "done" / "jobA.json")
+    # the leftover jobZ done file alone must NOT satisfy a jobs=['jobA'] wait
+    with pytest.raises(TimeoutError):
+        q.await_drain(expected_done=1, timeout=0.5, no_worker_timeout=30,
+                      jobs=["jobA"])
+    # once a worker acks jobA, the scoped wait completes
+    path, _ = q.claim("w1")
+    q.ack(path, {"worker": "w1"})
+    q.await_drain(expected_done=1, timeout=5, no_worker_timeout=30, jobs=["jobA"])
+    # stale failed entries from other jobs are ignored by a scoped wait too
+    with open(tmp_path / "q" / "failed" / "jobQ.json", "w") as f:
+        json.dump({"job_id": "jobQ"}, f)
+    q.await_drain(expected_done=1, timeout=5, no_worker_timeout=30, jobs=["jobA"])

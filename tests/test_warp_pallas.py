@@ -138,3 +138,76 @@ def test_solver_cost_matches_gather_path():
     err_ref = np.abs(d_ref[ok] - gt_np[ok]) / gt_np[ok]
     err_pal = np.abs(d_pal[ok] - gt_np[ok]) / gt_np[ok]
     assert abs(np.median(err_pal) - np.median(err_ref)) < 0.01
+
+
+def test_ssd_combine_matches_xla_everywhere():
+    """k2 ssd_combine vs the XLA ssd_planar + combine_top2 chain on random
+    data — EXACT border semantics included. The kernel's pad ring is
+    reflect-101 like sampling.box_sum; before round 3 it zero-padded
+    validity, which undercounted corner patches below MIN_PATCH_SUPPORT and
+    invalidated the 4 corner pixels for every source (ADVICE r2, high)."""
+    from facebook360_dep_tpu.ops import cost as cost_ops
+
+    rng = np.random.RandomState(11)
+    n, c, h, w = 5, 3, 40, 300  # off-tile sizes: borders in mid-grid too
+    sampled = rng.rand(n, c, h, w).astype(np.float32)
+    valid = (rng.rand(n, h, w) > 0.2)
+    dst = rng.rand(h, w, c).astype(np.float32)
+    variance = (rng.rand(h, w) * 1e-3).astype(np.float32)
+    exclude = 2
+
+    biased, unbiased, v2 = cost_ops.ssd_planar(
+        jnp.asarray(dst), jnp.asarray(sampled), jnp.asarray(valid)
+    )
+    not_self = jnp.arange(n) != exclude
+    v2 = v2 & not_self[:, None, None]
+    c_ref, conf_ref = cost_ops.combine_top2(biased, unbiased, v2, jnp.asarray(variance))
+
+    c_pal, conf_pal = warp_pallas.ssd_combine(
+        jnp.asarray(sampled),
+        jnp.asarray(valid, np.float32),
+        jnp.moveaxis(jnp.asarray(dst), -1, 0),
+        jnp.asarray(variance),
+        exclude,
+        min_keep=1,
+        interpret=True,
+    )
+    c_ref, c_pal = np.asarray(c_ref), np.asarray(c_pal)
+    inval_ref = c_ref >= 1e30
+    inval_pal = c_pal >= 1e30
+    assert np.array_equal(inval_ref, inval_pal)
+    ok = ~inval_ref
+    rel = np.abs(c_pal[ok] - c_ref[ok]) / (1.0 + np.abs(c_ref[ok]))
+    assert rel.max() < 1e-4, rel.max()
+    np.testing.assert_allclose(np.asarray(conf_pal), np.asarray(conf_ref), rtol=1e-6)
+
+
+def test_corner_pixels_covered_default_fov_rig():
+    """ADVICE r2 (high): on a default-FOV RECTILINEAR rig (image circle
+    all-inside), the TPU hot path must keep the 4 corner pixels covered —
+    zero-padded patch validity used to drop them below MIN_PATCH_SUPPORT and
+    DepthEstimator.check_coverage then rejected the whole rig."""
+    from facebook360_dep_tpu.core import camera as cam
+    from facebook360_dep_tpu.depth import pipeline, solver
+    from facebook360_dep_tpu.ops import cost as cost_ops
+    from facebook360_dep_tpu.render import synthetic
+
+    size = (96, 64)
+    rig = synthetic.make_test_rig(num_cameras=4, resolution=size, ring_radius=0.1)
+    nrig = cam.normalize_rig(rig)
+    colors, gt = synthetic.render_sphere_scene(rig, size, radius=5.0)
+    fov = pipeline.generate_fov_masks(nrig, colors.shape[1:3])
+    assert np.asarray(fov).all(), "rectilinear rig must be all-inside FOV"
+
+    ctx = solver.make_level_context(nrig, nrig, colors, fov, use_pallas_sampler=True)
+    c_pal, _ = cost_ops.cost_for_disparity(solver._cost_ctx(ctx, 0), jnp.asarray(gt[0]))
+    c_xla, _ = cost_ops.cost_for_disparity(
+        solver._cost_ctx(ctx._replace(src_imgs_t=None), 0), jnp.asarray(gt[0])
+    )
+    c_pal, c_xla = np.asarray(c_pal), np.asarray(c_xla)
+    h, w = c_pal.shape
+    corners = [(0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1)]
+    for (y, x) in corners:
+        # coverage parity with the XLA path at every corner
+        assert (c_pal[y, x] < 1e30) == (c_xla[y, x] < 1e30), (y, x, c_pal[y, x], c_xla[y, x])
+    assert sum(c_xla[y, x] < 1e30 for (y, x) in corners) >= 1, "scene leaves no corner covered"

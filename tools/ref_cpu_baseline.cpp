@@ -1,0 +1,382 @@
+// Measured CPU baseline for the reference depth-estimation hot loop.
+//
+// The reference (facebook/facebook360_dep) publishes no wall-clock numbers
+// and does not build in this image (Ceres/Boost/folly absent), so this is a
+// faithful standalone port of its per-pixel cost kernel — computeCost
+// (source/depth_estimation/Derp.cpp:104-226) + computeSSD
+// (source/depth_estimation/DerpUtil.cpp:126-162) — run at the exact bench.py
+// workload so `vs_baseline` divides by a MEASURED number instead of an
+// estimate:
+//
+//   - 16-camera RECTILINEAR ring rig (ring_radius 0.3, focal 0.45*W),
+//     identical geometry to facebook360_dep_tpu.render.synthetic.make_test_rig
+//   - sphere scene at radius 5 for ground-truth disparity (validity pattern
+//     matches the TPU bench scene)
+//   - pyramid widths 2048..50 (scripts/render/config.py:46), H = 3W/4
+//   - coarsest level: the 150-hypothesis brute-force sweep
+//     (Derp.cpp:230-304, kNumDepths=150), one cost map per hypothesis
+//   - every finer level: 12 full-image cost evaluations at per-pixel
+//     disparity (2 random proposals + 9 ping-pong candidates + 1 init eval —
+//     the same count bench.py's solver performs per level)
+//   - per-level precompute: infinity warp fields (ImageUtil.cpp:142
+//     computeWarpDstToSrc), color reprojection remap and 3x3 patch-mean bias
+//     maps (Derp.cpp:978-1003 reprojectColors/colorBias), as the reference
+//     pays per frame per level
+//
+// Pixel storage is cv::Vec3w (uint16, DerpUtil.h:19) with the 1/65535^2 SSD
+// scale (DerpUtil.cpp:156-160), bilinear taps are scalar like
+// cv_util::getPixelBilinear, and work is threaded with a spawn/join pool
+// shaped like util/ThreadPool.h:23-57 (brute force: one task per hypothesis,
+// Derp.cpp:288-304; refinement: tasks over row bands).
+//
+// Output: one JSON line with per-level and total seconds per destination map
+// for the thread count given (default: hardware concurrency).
+//
+// Build: g++ -O3 -march=native -std=c++17 ref_cpu_baseline.cpp -o ref_cpu_baseline \
+//            $(pkg-config --cflags --libs opencv4) -lpthread
+
+#include <opencv2/core.hpp>
+#include <opencv2/imgproc.hpp>
+
+#include <chrono>
+#include <cmath>
+#include <cstdio>
+#include <string>
+#include <thread>
+#include <tuple>
+#include <vector>
+
+using Vec3 = cv::Vec3d;
+using Pixel = cv::Vec3w;       // DerpUtil.h:19
+using PixelF = cv::Vec3f;
+
+static const int kNumDepths = 150;          // Derp.h:33
+static const int kSearchWindowRadius = 1;   // Derp.h:26
+static const int kMinOverlappingCams = 2;   // Derp.h:28
+static const float kMinVar = 4e-5f;         // var_noise_floor default
+static const double kNearInfinity = 1e4;    // util/Camera.cpp:19
+static const int kRefinementEvals = 12;     // 2 proposals + 9 ping-pong + init
+
+// ---- spawn/join thread pool (util/ThreadPool.h:23-57 shape) ---------------
+struct Pool {
+  explicit Pool(int n) : limit(n <= 0 ? (int)std::thread::hardware_concurrency() : n) {}
+  template <class F>
+  void spawn(F&& f) {
+    if (limit == 1) { f(); return; }
+    if ((int)threads.size() >= limit) join();
+    threads.emplace_back(std::forward<F>(f));
+  }
+  void join() {
+    for (auto& t : threads) t.join();
+    threads.clear();
+  }
+  int limit;
+  std::vector<std::thread> threads;
+};
+
+// ---- RECTILINEAR camera (util/Camera.h pixel/rig, zero distortion) --------
+struct Cam {
+  Vec3 position;
+  double fx, fy, cx, cy;  // pixel units at the current level resolution
+  int w, h;
+
+  // world -> pixel; false when behind the camera or outside the sensor
+  // (Camera::pixel + sees(); rotation is identity for the ring rig)
+  bool project(const Vec3& p, double& px, double& py) const {
+    const Vec3 v = p - position;
+    const double zf = -v[2];
+    if (!(zf > 0)) return false;
+    px = fx * (v[0] / zf) + cx;
+    py = fy * (v[1] / zf) + cy;
+    return px >= 0 && px < w && py >= 0 && py < h;
+  }
+
+  // pixel center -> unit ray (Camera::rig)
+  Vec3 ray(double px, double py) const {
+    Vec3 d((px - cx) / fx, (py - cy) / fy, -1.0);
+    return d / cv::norm(d);
+  }
+};
+
+static std::vector<Cam> makeRingRig(int n, int w, int h) {
+  std::vector<Cam> rig(n);
+  for (int i = 0; i < n; ++i) {
+    const double a = 2.0 * M_PI * i / n;
+    rig[i].position = Vec3(0.3 * std::cos(a), 0.3 * std::sin(a), 0.0);
+    rig[i].fx = 0.45 * w;
+    rig[i].fy = -0.45 * w;   // matches make_test_rig focal convention
+    rig[i].cx = w / 2.0;
+    rig[i].cy = h / 2.0;
+    rig[i].w = w;
+    rig[i].h = h;
+  }
+  return rig;
+}
+
+// distance to the inside of the sphere shell |p + t d| = R (scene geometry
+// of render_sphere_scene: cameras inside, every ray hits)
+static double sphereDepth(const Vec3& o, const Vec3& d, double R) {
+  const double b = o.dot(d);
+  const double c = o.dot(o) - R * R;
+  return -b + std::sqrt(std::max(b * b - c, 0.0));
+}
+
+// scalar bilinear taps, cv_util::getPixelBilinear semantics (clamp-to-edge)
+template <class T>
+static inline cv::Vec<float, T::channels> tapBilinear(const cv::Mat_<T>& m, float x, float y) {
+  x = std::min(std::max(x - 0.5f, 0.0f), (float)m.cols - 1.0f);
+  y = std::min(std::max(y - 0.5f, 0.0f), (float)m.rows - 1.0f);
+  const int x0 = (int)x, y0 = (int)y;
+  const int x1 = std::min(x0 + 1, m.cols - 1), y1 = std::min(y0 + 1, m.rows - 1);
+  const float ax = x - x0, ay = y - y0;
+  cv::Vec<float, T::channels> out;
+  for (int c = 0; c < T::channels; ++c) {
+    const float top = (1 - ax) * m(y0, x0)[c] + ax * m(y0, x1)[c];
+    const float bot = (1 - ax) * m(y1, x0)[c] + ax * m(y1, x1)[c];
+    out[c] = (1 - ay) * top + ay * bot;
+  }
+  return out;
+}
+
+// ---- per-level state (PyramidLevel.h:24-530 equivalents) ------------------
+struct Level {
+  int w, h;
+  std::vector<Cam> rig;                      // at level resolution
+  std::vector<cv::Mat_<Pixel>> srcColor;     // per src
+  cv::Mat_<float> gtDisparity;               // per-pixel eval disparity
+  // per src, for one destination (the metric is per dst map):
+  std::vector<cv::Mat_<cv::Vec2f>> projWarp;   // src-sized: pSrc -> pDstSrc
+  std::vector<cv::Mat_<Pixel>> projColor;      // dst-sized reprojected color
+  std::vector<cv::Mat_<Pixel>> projColorBias;  // 3x3 patch means
+  cv::Mat_<float> dstVariance;
+};
+
+// procedural texture: cheap deterministic sinusoid mix over the hit point
+static inline Pixel texture(const Vec3& p) {
+  const double r = 0.5 + 0.5 * std::sin(3.1 * p[0] + 1.7 * p[1]);
+  const double g = 0.5 + 0.5 * std::sin(2.3 * p[1] - 1.1 * p[2]);
+  const double b = 0.5 + 0.5 * std::sin(4.7 * p[2] + 0.9 * p[0]);
+  return Pixel((ushort)(r * 65535), (ushort)(g * 65535), (ushort)(b * 65535));
+}
+
+static Level buildLevel(int w, int h, int numCams, int dstIdx, Pool& pool, double& precomputeSec) {
+  Level L;
+  L.w = w; L.h = h;
+  L.rig = makeRingRig(numCams, w, h);
+
+  // render src colors + gt disparity (fixture, untimed)
+  L.srcColor.resize(numCams);
+  for (int s = 0; s < numCams; ++s) {
+    L.srcColor[s].create(h, w);
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        const Vec3 d = L.rig[s].ray(x + 0.5, y + 0.5);
+        const double t = sphereDepth(L.rig[s].position, d, 5.0);
+        L.srcColor[s](y, x) = texture(L.rig[s].position + d * t);
+      }
+  }
+  L.gtDisparity.create(h, w);
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x) {
+      const Vec3 d = L.rig[dstIdx].ray(x + 0.5, y + 0.5);
+      L.gtDisparity(y, x) = (float)(1.0 / sphereDepth(L.rig[dstIdx].position, d, 5.0));
+    }
+
+  // ---- timed precompute: warps + reprojection + bias (Derp.cpp:955-1003) --
+  const auto t0 = std::chrono::steady_clock::now();
+  L.projWarp.resize(numCams);
+  L.projColor.resize(numCams);
+  L.projColorBias.resize(numCams);
+  const Cam& dst = L.rig[dstIdx];
+  for (int s = 0; s < numCams; ++s) {
+    pool.spawn([&, s] {
+      const Cam& src = L.rig[s];
+      // dstProjWarp: for each SRC pixel, its infinity projection into the
+      // dst-aligned frame (computeWarpDstToSrc, ImageUtil.cpp:142)
+      L.projWarp[s].create(h, w);
+      for (int y = 0; y < h; ++y)
+        for (int x = 0; x < w; ++x) {
+          const Vec3 d = src.ray(x + 0.5, y + 0.5);
+          double px, py;
+          if (dst.project(src.position + d * kNearInfinity, px, py))
+            L.projWarp[s](y, x) = cv::Vec2f((float)px, (float)py);
+          else
+            L.projWarp[s](y, x) = cv::Vec2f(NAN, NAN);
+        }
+      // dstProjColor: src color remapped into the dst frame at infinity
+      // (project(), Derp.cpp:986-993) — the inverse warp drives cv::remap
+      if (s == dstIdx) {
+        L.projColor[s] = L.srcColor[s];
+      } else {
+        cv::Mat map(h, w, CV_32FC2);
+        for (int y = 0; y < h; ++y)
+          for (int x = 0; x < w; ++x) {
+            const Vec3 d = dst.ray(x + 0.5, y + 0.5);
+            double px, py;
+            if (src.project(dst.position + d * kNearInfinity, px, py))
+              map.at<cv::Vec2f>(y, x) = cv::Vec2f((float)(px - 0.5), (float)(py - 0.5));
+            else
+              map.at<cv::Vec2f>(y, x) = cv::Vec2f(-1e6f, -1e6f);
+          }
+        cv::remap(L.srcColor[s], L.projColor[s], map, cv::noArray(), cv::INTER_LINEAR);
+      }
+      // colorBias: patch mean over the search window (Derp.cpp:999-1001)
+      cv::blur(L.projColor[s], L.projColorBias[s],
+               cv::Size(2 * kSearchWindowRadius + 1, 2 * kSearchWindowRadius + 1));
+    });
+  }
+  pool.join();
+  // dst color variance (PyramidLevel ctor computeVariances): 3x3 local
+  // variance of the green channel, used as the cost confidence
+  {
+    cv::Mat g;
+    cv::extractChannel(L.projColor[dstIdx], g, 1);
+    g.convertTo(g, CV_32F, 1.0 / 65535.0);
+    cv::Mat mean, meansq;
+    cv::blur(g, mean, cv::Size(3, 3));
+    cv::blur(g.mul(g), meansq, cv::Size(3, 3));
+    cv::Mat_<float> var = meansq - mean.mul(mean);
+    L.dstVariance = var;
+  }
+  precomputeSec = std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
+  return L;
+}
+
+// ---- the hot kernel: computeCost (Derp.cpp:104-226) -----------------------
+static std::tuple<float, float> computeCost(
+    const Level& L, int dstIdx, float disparity, int x, int y) {
+  const Cam& camDst = L.rig[dstIdx];
+  // (1)-(2) dstToWorldPoint (DerpUtil.cpp:38-52)
+  const Vec3 ray = camDst.ray(x + 0.5, y + 0.5);
+  const Vec3 pWorld = camDst.position + ray * (1.0 / disparity);
+
+  const int numSrc = (int)L.rig.size();
+  std::vector<std::pair<float, float>> SSDs(numSrc);
+  int ssdCount = 0;
+  const cv::Mat_<Pixel>& dstColor = L.projColor[dstIdx];
+  const Pixel& dstBiasPix = L.projColorBias[dstIdx](y, x);
+  for (int s = 0; s < numSrc; ++s) {
+    if (s == dstIdx) continue;
+    // (3) worldToSrcPoint (DerpUtil.cpp:56+)
+    double sx, sy;
+    if (!L.rig[s].project(pWorld, sx, sy)) continue;
+    // (3)->(5): precomputed infinity warp lookup (Derp.cpp:176-181)
+    const cv::Vec2f pDstSrc = tapBilinear(L.projWarp[s], (float)sx, (float)sy);
+    const float xDstSrc = pDstSrc[0] + 0.5f, yDstSrc = pDstSrc[1] + 0.5f;
+    if (std::isnan(xDstSrc) || std::isnan(yDstSrc)) continue;
+
+    // computeSSD (DerpUtil.cpp:126-162): biased + bias-compensated 3x3 SSD
+    const PixelF srcBias = tapBilinear(L.projColorBias[s], xDstSrc, yDstSrc);
+    PixelF bias;
+    for (int c = 0; c < 3; ++c) bias[c] = (float)dstBiasPix[c] - srcBias[c];
+    float ssdBiased = 0.0f, ssdUnbiased = 0.0f;
+    for (int dx = -kSearchWindowRadius; dx <= kSearchWindowRadius; ++dx)
+      for (int dy = -kSearchWindowRadius; dy <= kSearchWindowRadius; ++dy) {
+        const Pixel& cDst = dstColor(y + dy, x + dx);
+        const PixelF cSrc = tapBilinear(L.projColor[s], xDstSrc + dx, yDstSrc + dy);
+        for (int c = 0; c < 3; ++c) {
+          const float diffB = (float)cDst[c] - cSrc[c];
+          const float diffU = diffB - bias[c];
+          ssdBiased += diffB * diffB;
+          ssdUnbiased += diffU * diffU;
+        }
+      }
+    const float scale = 1.0f / (65535.0f * 65535.0f);
+    SSDs[ssdCount++] = {ssdBiased * scale, ssdUnbiased * scale};
+  }
+
+  int keep = kMinOverlappingCams - 1;
+  if (ssdCount < keep) return {FLT_MAX, 0.0f};
+  keep = std::max(keep, ssdCount - 2);  // drop the two worst (Derp.cpp:208-215)
+  std::nth_element(SSDs.begin(), SSDs.begin() + keep, SSDs.begin() + ssdCount);
+  float cost = 0;
+  for (int i = 0; i < keep; ++i) cost += SSDs[i].second;
+  cost /= keep;
+  const float trust = 1.0f / keep;
+  const float confidence = std::max(L.dstVariance(y, x), kMinVar);
+  return {cost * trust / confidence, confidence};
+}
+
+// one full-image evaluation at per-pixel disparity (the shape of a random-
+// proposal / ping-pong pass, Derp.cpp:750-873 / 403-551), row bands threaded
+static void evalFullImage(const Level& L, int dstIdx, const cv::Mat_<float>& disp,
+                          cv::Mat_<float>& cost, Pool& pool) {
+  const int r = kSearchWindowRadius;
+  const int bands = std::max(pool.limit, 1);
+  const int rows = L.h - 2 * r;
+  for (int b = 0; b < bands; ++b) {
+    const int y0 = r + rows * b / bands, y1 = r + rows * (b + 1) / bands;
+    pool.spawn([&, y0, y1] {
+      for (int y = y0; y < y1; ++y)
+        for (int x = r; x < L.w - r; ++x)
+          cost(y, x) = std::get<0>(computeCost(L, dstIdx, disp(y, x), x, y));
+    });
+  }
+  pool.join();
+}
+
+int main(int argc, char** argv) {
+  const int numCams = 16;
+  const int dstIdx = 0;
+  int threads = (int)std::thread::hardware_concurrency();
+  std::vector<int> widths = {2048, 1024, 512, 256, 200, 128, 100, 80, 60, 50};
+  for (int i = 1; i < argc; ++i) {
+    const std::string a = argv[i];
+    if (a == "--threads" && i + 1 < argc) threads = std::atoi(argv[++i]);
+    if (a == "--max_width" && i + 1 < argc) {
+      const int mw = std::atoi(argv[++i]);
+      std::vector<int> keep;
+      for (int w : widths) if (w <= mw) keep.push_back(w);
+      widths = keep;
+    }
+  }
+  cv::setNumThreads(1);  // all parallelism through the ThreadPool equivalent
+  Pool pool(threads);
+
+  double total = 0.0;
+  std::string levelJson;
+  for (size_t li = 0; li < widths.size(); ++li) {
+    const int w = widths[li], h = (3 * w + 2) / 4;
+    double precomputeSec = 0.0;
+    Level L = buildLevel(w, h, numCams, dstIdx, pool, precomputeSec);
+
+    const bool coarsest = (li == widths.size() - 1);
+    cv::Mat_<float> cost(h, w, NAN);
+    const auto t0 = std::chrono::steady_clock::now();
+    if (coarsest) {
+      // 150-hypothesis brute force, one task per hypothesis (Derp.cpp:288-304)
+      const float minD = 1.0f / 100.0f, maxD = 1.0f / 1.0f;
+      std::vector<cv::Mat_<float>> maps(kNumDepths);
+      for (int i = 0; i < kNumDepths; ++i) {
+        maps[i].create(h, w);
+        const float f = (float)i / (kNumDepths - 1);
+        const float d = f * minD + (1 - f) * maxD;  // probeDisparity
+        pool.spawn([&, i, d] {
+          const int r = kSearchWindowRadius;
+          for (int y = r; y < h - r; ++y)
+            for (int x = r; x < w - r; ++x)
+              maps[i](y, x) = std::get<0>(computeCost(L, dstIdx, d, x, y));
+        });
+      }
+      pool.join();
+    } else {
+      for (int e = 0; e < kRefinementEvals; ++e)
+        evalFullImage(L, dstIdx, L.gtDisparity, cost, pool);
+    }
+    const double evalSec =
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
+    total += evalSec + precomputeSec;
+    char buf[160];
+    std::snprintf(buf, sizeof buf, "%s\"%d\": {\"eval_s\": %.3f, \"precompute_s\": %.3f}",
+                  li ? ", " : "", w, evalSec, precomputeSec);
+    levelJson += buf;
+    std::fprintf(stderr, "level %d (%dx%d): eval %.3fs precompute %.3fs\n",
+                 w, w, h, evalSec, precomputeSec);
+  }
+
+  std::printf(
+      "{\"metric\": \"ref_cpu_seconds_per_map\", \"value\": %.3f, \"unit\": \"s/map\", "
+      "\"threads\": %d, \"levels\": {%s}}\n",
+      total, threads, levelJson.c_str());
+  return 0;
+}
