@@ -66,6 +66,10 @@ class DepthEstimatorOptions:
     debug_plot_match_x: int = -1
     debug_plot_match_y: int = -1
     debug_plot_match_level: int = -1
+    # SURVEY §5.1: reusable profiler hook — when set, each level's solve runs
+    # under jax.profiler.trace(profile_dir) (one trace subdir per run),
+    # viewable with tensorboard/xprof or perfetto
+    profile_dir: str = ""
     extra: dict = field(default_factory=dict)
 
     def resolve_paths(self):
@@ -351,6 +355,16 @@ class DepthEstimator:
         return [io.frame_name(f) for f in range(first, last + 1)]
 
     def run(self):
+        if self.opts.profile_dir:
+            # one device+host trace around the whole solve; per-level
+            # boundaries appear as named TraceAnnotations
+            with jax.profiler.trace(self.opts.profile_dir):
+                self._run_levels()
+            log.info("profiler trace written to %s", self.opts.profile_dir)
+        else:
+            self._run_levels()
+
+    def _run_levels(self):
         t0 = time.time()
         for level in range(self.level_start, self.level_end - 1, -1):
             size_wh = self.level_sizes[level]

@@ -14,7 +14,8 @@ def test_dryrun_multichip_8():
 
 
 @pytest.mark.slow
-def test_sharded_matches_single_device():
+@pytest.mark.parametrize("use_pallas", [False, True], ids=["xla", "pallas"])
+def test_sharded_matches_single_device(use_pallas):
     from facebook360_dep_tpu.core import camera as cam
     from facebook360_dep_tpu.depth import pipeline, solver
     from facebook360_dep_tpu.parallel import sharding
@@ -24,7 +25,7 @@ def test_sharded_matches_single_device():
     colors, gt = synthetic.render_sphere_scene(rig, (32, 24), radius=5.0)
     nrig = cam.normalize_rig(rig)
     fov = pipeline.generate_fov_masks(nrig, colors.shape[1:3])
-    ctx = solver.make_level_context(nrig, nrig, colors, fov)
+    ctx = solver.make_level_context(nrig, nrig, colors, fov, use_pallas_sampler=use_pallas)
     cfg = solver.SolverConfig(
         min_depth=1.0, max_depth=100.0, level=1, num_levels=2,
         num_random_proposals=0, ping_pong_iterations=1, mismatches_start_level=1,
@@ -89,3 +90,47 @@ def test_frame_camera_mesh_2d():
     v = np.isfinite(disp) & np.isfinite(init)
     rel = np.abs(disp[v] - init[v]) / init[v]
     assert np.median(rel) < 0.2
+
+
+@pytest.mark.slow
+def test_frame_camera_sharded_matches_single_device_pallas():
+    """Frame x camera mesh parity vs the single-device solve with the Pallas
+    kernels ACTIVE (interpret mode under shard_map). Guards the round-2
+    regression where the sharded path silently rebuilt the sampling stack in
+    bf16 (sharding.py), corrupting SSDs the single-device f32 path got right."""
+    from facebook360_dep_tpu.core import camera as cam
+    from facebook360_dep_tpu.depth import pipeline, solver
+    from facebook360_dep_tpu.parallel import sharding
+    from facebook360_dep_tpu.render import synthetic
+
+    size = (32, 24)
+    rig = synthetic.make_test_rig(num_cameras=4, resolution=size, ring_radius=0.1)
+    nrig = cam.normalize_rig(rig)
+    frames, gts = [], []
+    for f in range(2):
+        colors, gt = synthetic.render_sphere_scene(rig, size, radius=5.0, seed=20 + f)
+        frames.append(colors)
+        gts.append(gt)
+    frame_imgs = np.stack(frames)
+    init = np.stack(gts).astype(np.float32)
+    fov = pipeline.generate_fov_masks(nrig, (size[1], size[0]))
+
+    cfg = solver.SolverConfig(
+        min_depth=1.0, max_depth=100.0, level=0, num_levels=2,
+        num_random_proposals=0, ping_pong_iterations=1, mismatches_start_level=0,
+    )
+    base_ctx = solver.make_level_context(nrig, nrig, frames[0], fov, use_pallas_sampler=True)
+    mesh = sharding.frame_camera_mesh(jax.devices()[:8], frame_axis=2)
+    out = sharding.process_frames_sharded(base_ctx, frame_imgs, cfg, mesh, init_disparity=init)
+    sharded = np.asarray(out["disparity"])
+
+    for f in range(2):
+        ctx_f = solver.make_level_context(nrig, nrig, frames[f], fov, use_pallas_sampler=True)
+        assert ctx_f.src_imgs_t.dtype == np.float32
+        single = solver.process_level(ctx_f, cfg, init_disparity=init[f])
+        a = np.asarray(single["disparity"])
+        b = sharded[f]
+        mask = np.isfinite(a) & np.isfinite(b)
+        assert mask.mean() > 0.5
+        np.testing.assert_allclose(a[mask], b[mask], atol=1e-5)
+        assert (np.isfinite(a) == np.isfinite(b)).all()
