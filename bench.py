@@ -128,32 +128,39 @@ def main():
 
     # --- config 2 (headline): full coarse-to-fine pyramid, 10 levels --------
     num_levels = len(WIDTHS)
-    level_times = {}
-    disp = None
-    pyramid_s = 0.0
-    coarsest_s = None
-    for level in range(num_levels - 1, -1, -1):
-        w = WIDTHS[level]
-        h = hw(w)
-        colors_l = colors_2k if level == 0 else resize(colors_2k, h, w)
-        ctx = build_ctx(w, dst_rig, colors_l)
-        cfg = solver.SolverConfig(
-            min_depth=1.0, max_depth=100.0, level=level, num_levels=num_levels,
-            num_random_proposals=2, ping_pong_iterations=1,
-        )
-        if level == num_levels - 1:
-            fn = lambda c: solver.process_level(c, cfg)  # noqa: E731
-            warm_ctx = ctx._replace(src_variance=ctx.src_variance * (1.0 + 1e-6))
-            t, out = timed(fn, (warm_ctx,), (ctx,))
-            coarsest_s = t
-        else:
-            init = upsample_disp(disp, h, w)
-            fn = lambda c, i: solver.process_level(c, cfg, init_disparity=i)  # noqa: E731
-            t, out = timed(fn, (ctx, init * 1.01), (ctx, init))
-        disp = out["disparity"]
-        pyramid_s += t
-        level_times[w] = round(t, 4)
-        log(f"{elapsed()} level {level} ({w}x{h}): {t:.3f}s for {BENCH_DST} maps")
+
+    def solve_pyramid(colors_full):
+        """Full coarse-to-fine cascade from brute-force init; returns
+        (disparity stack, total seconds, per-level times, coarsest time)."""
+        level_times = {}
+        disp = None
+        total_s = 0.0
+        coarsest_s = None
+        for level in range(num_levels - 1, -1, -1):
+            w = WIDTHS[level]
+            h = hw(w)
+            colors_l = colors_full if level == 0 else resize(colors_full, h, w)
+            ctx = build_ctx(w, dst_rig, colors_l)
+            cfg = solver.SolverConfig(
+                min_depth=1.0, max_depth=100.0, level=level, num_levels=num_levels,
+                num_random_proposals=2, ping_pong_iterations=1,
+            )
+            if level == num_levels - 1:
+                fn = lambda c: solver.process_level(c, cfg)  # noqa: E731
+                warm_ctx = ctx._replace(src_variance=ctx.src_variance * (1.0 + 1e-6))
+                t, out = timed(fn, (warm_ctx,), (ctx,))
+                coarsest_s = t
+            else:
+                init = upsample_disp(disp, h, w)
+                fn = lambda c, i: solver.process_level(c, cfg, init_disparity=i)  # noqa: E731
+                t, out = timed(fn, (ctx, init * 1.01), (ctx, init))
+            disp = out["disparity"]
+            total_s += t
+            level_times[w] = round(t, 4)
+            log(f"{elapsed()} level {level} ({w}x{h}): {t:.3f}s for {BENCH_DST} maps")
+        return disp, total_s, level_times, coarsest_s
+
+    disp, pyramid_s, level_times, coarsest_s = solve_pyramid(colors_2k)
     pyramid_s_per_map = pyramid_s / BENCH_DST
 
     disp_np = np.asarray(disp)
@@ -230,6 +237,39 @@ def main():
 
     headline_s_per_map = pyramid_s_per_map + mismatch_s_per_map
 
+    # --- config 2b: the HARD scene — BVH occluder room ----------------------
+    # Perlin-textured room + floating occluder boxes (render/raytrace.py):
+    # depth discontinuities + occlusion, the regime the analytic sphere scene
+    # cannot exercise (VERDICT r2 weak #4). Same cascade, same metrics.
+    from facebook360_dep_tpu.render import raytrace
+
+    mesh_occ = raytrace.box_room_with_occluders(seed=11, num_occluders=4)
+    colors_occ, gt_occ = raytrace.render_mesh_scene(
+        rig, (WIDTHS[0], hw(WIDTHS[0])), mesh_occ, as_numpy=False
+    )
+    colors_occ = jax.block_until_ready(colors_occ)
+    log(f"{elapsed()} occluder-room fixtures raytraced")
+    disp_occ, pyramid_occ_s, _, _ = solve_pyramid(colors_occ)
+    pyramid_occ_s_per_map = pyramid_occ_s / BENCH_DST
+    disp_occ_np = np.asarray(disp_occ)
+    gt_occ_np = np.asarray(gt_occ[:BENCH_DST])
+    v_occ = np.isfinite(disp_occ_np)
+    rmse_occ = float(
+        np.sqrt(np.mean((disp_occ_np[v_occ] - gt_occ_np[v_occ]) ** 2)) / np.mean(gt_occ_np[v_occ])
+    )
+    cov_occ = np.stack([np.asarray(coverage(gt_occ[i], i)) for i in range(BENCH_DST)])
+    vc_occ = v_occ & cov_occ
+    rmse_occ_cov = float(
+        np.sqrt(np.mean((disp_occ_np[vc_occ] - gt_occ_np[vc_occ]) ** 2)) / np.mean(gt_occ_np[vc_occ])
+    )
+    ctx_occ = build_ctx(WIDTHS[0], dst_rig, colors_occ)
+    mssim_occ = float(rephoto_mssim(ctx_occ, jnp.nan_to_num(disp_occ[0], nan=1e-4))) * 100.0
+    log(
+        f"{elapsed()} occluder scene: {pyramid_occ_s_per_map:.3f}s/map, rel RMSE "
+        f"{rmse_occ:.4f} (covered {rmse_occ_cov:.4f} over {cov_occ.mean():.1%}), "
+        f"MSSIM {mssim_occ:.2f}"
+    )
+
     # --- config 1: coarse-level-only -----------------------------------------
     # (a) the true coarsest level is timed above (coarsest_s);
     # (b) a full 150-hypothesis brute-force sweep at 2K, one destination
@@ -276,30 +316,54 @@ def main():
     log(f"{elapsed()} temporal filter: {t_tf:.3f}s/frame (window {2*TIME_RADIUS+1}, {TEMPORAL_FRAMES}-frame clip = {t_tf*TEMPORAL_FRAMES:.1f}s)")
 
     # --- config 5: end-to-end publish (depth + ConvertToBinary + fusion) ----
+    # per-(frame, camera) process pool (ConvertToBinary.cpp ThreadPool
+    # parity), median-of-3 with spread — round-2 single-runs swung 3x with
+    # host contention
     import tempfile
 
     from facebook360_dep_tpu.cli import convert_to_binary as ctb
-    from facebook360_dep_tpu.stream import fusion, mesh, native
+    from facebook360_dep_tpu.core import io as dep_io
+    from facebook360_dep_tpu.stream import fusion
 
-    cam0 = jax.tree.map(lambda a: np.asarray(a)[0], nrig.cameras)
-    color0 = np.asarray(jnp.clip(colors_2k[0] * 255, 0, 255)).astype(np.uint8)
-    disp0 = np.nan_to_num(disp_np[0], nan=1e-4).astype(np.float32)
-    t0 = time.perf_counter()
+    pub_cams = list(nrig.ids[:BENCH_DST])
     with tempfile.TemporaryDirectory() as tmp:
-        bin_dir = os.path.join(tmp, "bin")
-        vertexes, faces = ctb.convert_depth(cam0, "cam0", disp0, bin_dir)
-        out_dir = os.path.join(bin_dir, "cam0")
-        mesh.write_vtx_idx(
-            os.path.join(out_dir, "000000.vtx"), os.path.join(out_dir, "000000.idx"),
-            vertexes, faces,
-        )
-        rgba = ctb.gamma_correct_to_rgba8(color0.astype(np.float32) / 255.0, 1.0 / 2.2)
-        blocks = native.compress_bc7(rgba)
-        with open(os.path.join(out_dir, "000000.bc7"), "wb") as f:
-            f.write(blocks.tobytes())
-        fusion.fuse_frames(bin_dir, os.path.join(tmp, "fused"), ["cam0"], ["000000"])
-    t_pub = time.perf_counter() - t0
-    log(f"{elapsed()} publish path: {t_pub:.3f}s/frame-camera")
+        disp_dir = os.path.join(tmp, "disp")
+        color_dir = os.path.join(tmp, "color")
+        for i, cam_id in enumerate(pub_cams):
+            os.makedirs(os.path.join(disp_dir, cam_id), exist_ok=True)
+            os.makedirs(os.path.join(color_dir, cam_id), exist_ok=True)
+            dep_io.write_pfm(
+                os.path.join(disp_dir, cam_id, "000000.pfm"),
+                np.nan_to_num(disp_np[i], nan=1e-4).astype(np.float32),
+            )
+            dep_io.write_color(
+                os.path.join(color_dir, cam_id, "000000.png"),
+                np.asarray(colors_2k[i]), bit_depth=8,
+            )
+        rig_path = os.path.join(tmp, "rig.json")
+        import facebook360_dep_tpu.core.camera as _cam
+
+        _cam.save_rig(rig_path, cam.Rig(
+            cameras=jax.tree.map(lambda a: np.asarray(a)[:BENCH_DST], nrig.cameras),
+            ids=tuple(pub_cams), groups=("",) * BENCH_DST,
+        ))
+        pub_times = []
+        for rep in range(3):
+            bin_dir = os.path.join(tmp, f"bin{rep}")
+            t0 = time.perf_counter()
+            ctb.main([
+                "--rig", rig_path, "--bin", bin_dir,
+                "--color", color_dir, "--disparity", disp_dir,
+                "--fused", os.path.join(tmp, f"fused{rep}"),
+            ])
+            pub_times.append(time.perf_counter() - t0)
+        pub_times.sort()
+        t_pub = pub_times[1] / len(pub_cams)  # median run, per frame-camera
+        pub_spread = (pub_times[-1] - pub_times[0]) / len(pub_cams)
+    log(
+        f"{elapsed()} publish path: {t_pub:.3f}s/frame-camera "
+        f"(median of 3, spread {pub_spread:.3f}s, pool over {len(pub_cams)} cams)"
+    )
 
     print(
         json.dumps(
@@ -328,6 +392,14 @@ def main():
                     "fgbg_split_s_per_map": round(fgbg_s_per_map, 4),
                     "temporal_filter_s_per_frame": round(t_tf, 4),
                     "publish_s_per_frame_camera": round(t_pub, 4),
+                    "publish_spread_s": round(pub_spread, 4),
+                    "occluder_scene": {
+                        "pyramid_s_per_map": round(pyramid_occ_s_per_map, 4),
+                        "disparity_rel_rmse_vs_gt": round(rmse_occ, 6),
+                        "disparity_rel_rmse_covered_pixels": round(rmse_occ_cov, 6),
+                        "covered_pixel_fraction": round(float(cov_occ.mean()), 4),
+                        "rephoto_mssim_pct": round(mssim_occ, 2),
+                    },
                     "pyramid_widths": WIDTHS,
                     "num_src_cameras": NUM_CAMERAS,
                 },

@@ -61,6 +61,82 @@ def gamma_correct_to_rgba8(color: np.ndarray, gamma_correction: float) -> np.nda
     return np.concatenate([rgb, alpha], axis=-1)
 
 
+def jax_free_camera(rig, i):
+    """One camera as a pure-numpy pytree — picklable for worker processes."""
+    import jax
+
+    return jax.tree.map(lambda a: np.asarray(a), rig.camera(i))
+
+
+def _load(root, cam_id, frame, loader):
+    d = os.path.join(root, cam_id)
+    probe = io.first_image_in(d)
+    assert probe, f"no images in {d}"
+    ext = os.path.splitext(probe)[1]
+    return loader(os.path.join(d, frame + ext))
+
+
+def convert_one(argd: dict, camera, cam_id: str, frame: str) -> str:
+    """Full per-(frame, camera) conversion: mesh (+QEM simplify) and/or BC7 —
+    one ThreadPool task of the reference's ConvertToBinary.cpp, here one
+    process-pool task. ``argd`` is the parsed flag dict, ``camera`` a numpy
+    camera pytree (picklable)."""
+    args = argparse.Namespace(**argd)
+    formats = {f.strip() for f in args.output_formats.split(",") if f.strip()}
+    out_dir = os.path.join(args.bin, cam_id)
+    os.makedirs(out_dir, exist_ok=True)
+    report = []
+    if args.disparity and formats & {"vtx", "idx", "obj", "pfm"}:
+        disp = _load(args.disparity, cam_id, frame, io.read_disparity)
+        fg = (
+            _load(args.foreground_masks, cam_id, frame, io.read_mask)
+            if args.foreground_masks
+            else None
+        )
+        v, f = convert_depth(
+            camera, cam_id, disp, args.bin,
+            triangles=args.triangles, tear_ratio=args.tear_ratio,
+            depth_scale=args.depth_scale, foreground_mask=fg,
+        )
+        report.append(f"{len(v)} vertices, {len(f)} faces")
+        if formats & {"vtx", "idx"}:
+            mesh.write_vtx_idx(
+                os.path.join(out_dir, frame + ".vtx"),
+                os.path.join(out_dir, frame + ".idx"),
+                v, f,
+            )
+        if "obj" in formats:
+            mesh.write_obj(os.path.join(out_dir, frame + ".obj"), v, f)
+    if args.color and formats & {"bc7", "rgba"}:
+        color = _load(args.color, cam_id, frame, io.read_color)
+        if args.color_scale < 1:
+            color = io.resize_image(
+                color,
+                (int(color.shape[1] * args.color_scale), int(color.shape[0] * args.color_scale)),
+            )
+        # crop to 4px multiples for block compression
+        h4, w4 = color.shape[0] // 4 * 4, color.shape[1] // 4 * 4
+        rgba = gamma_correct_to_rgba8(color[:h4, :w4], args.gamma_correction)
+        if "bc7" in formats:
+            blocks = native.compress_bc7(rgba)
+            blocks.tofile(os.path.join(out_dir, frame + ".bc7"))
+        if "rgba" in formats:
+            rgba.tofile(os.path.join(out_dir, frame + ".rgba"))
+        # sidecar with the true texture dims: normalized rigs carry
+        # resolution [1,1], so consumers cannot infer them from the camera
+        # aspect (fusion records this in the catalog; viewer/server reads it)
+        import json
+
+        with open(os.path.join(out_dir, frame + ".meta.json"), "w") as f:
+            json.dump({"color_wh": [int(rgba.shape[1]), int(rgba.shape[0])]}, f)
+        report.append("color blocks")
+    return f"{cam_id} {frame}: " + ", ".join(report)
+
+
+def _convert_one_star(t):
+    return convert_one(*t)
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     p = argparse.ArgumentParser(description=__doc__)
@@ -88,54 +164,26 @@ def main(argv=None):
     formats = {f.strip() for f in args.output_formats.split(",") if f.strip()}
     frames = [io.frame_name(f) for f in range(int(args.first), int(args.last) + 1)]
 
-    def load(root, cam_id, frame, loader):
-        d = os.path.join(root, cam_id)
-        probe = io.first_image_in(d)
-        assert probe, f"no images in {d}"
-        ext = os.path.splitext(probe)[1]
-        return loader(os.path.join(d, frame + ext))
-
     if args.run_conversion:
-        for frame in frames:
-            for i, cam_id in enumerate(rig.ids):
-                out_dir = os.path.join(args.bin, cam_id)
-                os.makedirs(out_dir, exist_ok=True)
-                if args.disparity and formats & {"vtx", "idx", "obj", "pfm"}:
-                    disp = load(args.disparity, cam_id, frame, io.read_disparity)
-                    fg = (
-                        load(args.foreground_masks, cam_id, frame, io.read_mask)
-                        if args.foreground_masks
-                        else None
-                    )
-                    v, f = convert_depth(
-                        rig.camera(i), cam_id, disp, args.bin,
-                        triangles=args.triangles, tear_ratio=args.tear_ratio,
-                        depth_scale=args.depth_scale, foreground_mask=fg,
-                    )
-                    log.info("%s %s: %d vertices, %d faces", cam_id, frame, len(v), len(f))
-                    if formats & {"vtx", "idx"}:
-                        mesh.write_vtx_idx(
-                            os.path.join(out_dir, frame + ".vtx"),
-                            os.path.join(out_dir, frame + ".idx"),
-                            v, f,
-                        )
-                    if "obj" in formats:
-                        mesh.write_obj(os.path.join(out_dir, frame + ".obj"), v, f)
-                if args.color and formats & {"bc7", "rgba"}:
-                    color = load(args.color, cam_id, frame, io.read_color)
-                    if args.color_scale < 1:
-                        color = io.resize_image(
-                            color,
-                            (int(color.shape[1] * args.color_scale), int(color.shape[0] * args.color_scale)),
-                        )
-                    # crop to 4px multiples for block compression
-                    h4, w4 = color.shape[0] // 4 * 4, color.shape[1] // 4 * 4
-                    rgba = gamma_correct_to_rgba8(color[:h4, :w4], args.gamma_correction)
-                    if "bc7" in formats:
-                        blocks = native.compress_bc7(rgba)
-                        blocks.tofile(os.path.join(out_dir, frame + ".bc7"))
-                    if "rgba" in formats:
-                        rgba.tofile(os.path.join(out_dir, frame + ".rgba"))
+        tasks = [
+            (vars(args), jax_free_camera(rig, i), cam_id, frame)
+            for frame in frames
+            for i, cam_id in enumerate(rig.ids)
+        ]
+        workers = os.cpu_count() if args.threads < 0 else args.threads
+        workers = max(1, min(workers or 1, len(tasks)))
+        if workers == 1:
+            for t in tasks:
+                log.info("%s", convert_one(*t))
+        else:
+            # per-(frame, camera) process pool — the reference threads
+            # ConvertToBinary the same way (ThreadPool over frames/cameras,
+            # mesh_stream/ConvertToBinary.cpp)
+            from concurrent.futures import ProcessPoolExecutor
+
+            with ProcessPoolExecutor(workers) as pool:
+                for msg in pool.map(_convert_one_star, tasks):
+                    log.info("%s", msg)
 
     if args.fused:
         exts = [f".{f}" for f in ("vtx", "idx", "bc7", "rgba") if f in formats]

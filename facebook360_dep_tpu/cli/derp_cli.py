@@ -51,6 +51,8 @@ def add_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--debug_plot_match_y", type=int, default=-1)
     p.add_argument("--debug_plot_match_level", type=int, default=-1)
     p.add_argument("--threads", type=int, default=-1, help="accepted for flag parity (unused)")
+    p.add_argument("--profile_dir", default="",
+                   help="write a jax.profiler trace of the solve here (SURVEY 5.1)")
 
 
 def options_from_args(args) -> DepthEstimatorOptions:

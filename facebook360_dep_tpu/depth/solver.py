@@ -130,8 +130,12 @@ def make_level_context(
         # quantization + hi/lo window split, warp_pallas.MATMUL_PRECISION) —
         # which requires this stack to be f32: with a bf16 stack the lo half
         # is identically zero and the split degenerates.
+        # (colors additionally snap to k/256 when cost.SRC_QUANT_EXACT, making
+        # every value bf16-exact so the sampler runs a single contraction)
         src_imgs_t=(
-            warp_pallas.planar_for_sampling(src_imgs[..., :3]).astype(jnp.float32)
+            (cost_ops.quantize_src if cost_ops.SRC_QUANT_EXACT else lambda a: a)(
+                warp_pallas.planar_for_sampling(src_imgs[..., :3]).astype(jnp.float32)
+            )
             if use_pallas_sampler
             else None
         ),

@@ -56,6 +56,21 @@ MIN_VAR = 1.0 / 12.0 / 65025.0
 LEVEL_SCALE = 0.9
 FLT_MAX = jnp.finfo(jnp.float32).max
 
+# Quantize the Pallas sampling stack to k/256 color levels at upload: every
+# value becomes exactly bf16-representable, so the sampler runs ONE MXU
+# contraction instead of the hi/lo split (warp_pallas MATMUL_PRECISION;
+# round-3 item 8). Cost: source colors carry <= 1/512 one-time quantization
+# (equivalent to matching against ~8-bit sources); unlike per-eval bf16
+# rounding this is FIXED per scene pixel, so it does not flip hypothesis
+# comparisons the way the round-2 matmul rounding did. Flip to False to
+# A/B the hi/lo path (tools/ablate_single_pass.py).
+SRC_QUANT_EXACT = True
+
+
+def quantize_src(planar: jnp.ndarray) -> jnp.ndarray:
+    """Snap colors to multiples of 1/256 (exact in bf16's 8-bit significand)."""
+    return jnp.round(jnp.asarray(planar, jnp.float32) * 256.0) * (1.0 / 256.0)
+
 
 class CostContext(NamedTuple):
     """Device-resident state for evaluating costs of one destination camera."""
@@ -226,7 +241,10 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
         rays_planar = jnp.moveaxis(ctx.dst_rays, -1, 0)  # (3, H, W)
         params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
         sampled, k_valid, clipped = warp_pallas.project_sample_planar_v4(
-            ctx.src_imgs_t, params, ctx.cam_dst.position, disparity_map, rays_planar
+            ctx.src_imgs_t, params, ctx.cam_dst.position, disparity_map, rays_planar,
+            # producers (solver.make_level_context / parallel.sharding)
+            # quantize the stack under the same flag
+            src_exact_bf16=SRC_QUANT_EXACT,
         )
         dst_planar = jnp.moveaxis(ctx.dst_img[..., :3], -1, 0)
         cost, confidence = warp_pallas.ssd_combine(

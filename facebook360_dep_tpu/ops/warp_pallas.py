@@ -327,7 +327,8 @@ V4_WINDOW_H = 32   # sublane axis: origin aligned to 8 -> y-magnification <= (32
 V4_WINDOW_W = 384  # lane axis: origin aligned to 128 -> x-magnification <= (384-128-2)/128
 
 
-def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precision=None):
+def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precision=None,
+                            src_exact_bf16: bool = False):
     """hs/ws are the TRUE source dims; src_ref may carry (8, 128)-aligned
     edge padding beyond them (small pyramid levels)."""
     precision = MATMUL_PRECISION if precision is None else precision
@@ -467,8 +468,6 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
         for cp in copies:
             cp.wait()
         win = win_ref[...].astype(jnp.float32)  # (C*WH, WW)
-        win_hi = win.astype(jnp.bfloat16).astype(jnp.float32)
-        win_lo = win - win_hi
 
         def xdot(lhs):
             return jax.lax.dot_general(
@@ -476,24 +475,44 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
                 precision=precision, preferred_element_type=jnp.float32,
             )
 
-        tmp = xdot(win_hi) + xdot(win_lo)  # (C*WH, P)
+        if src_exact_bf16:
+            # sources were quantized to k/256 at upload (cost.quantize_src):
+            # every window value is exactly bf16-representable, and
+            # (8-bit) x (8-bit) products fit f32 exactly — ONE contraction,
+            # no hi/lo split (round-3 item 8: reclaims the factor-2 on the
+            # x-contraction)
+            tmp = xdot(win)
+        else:
+            win_hi = win.astype(jnp.bfloat16).astype(jnp.float32)
+            win_lo = win - win_hi
+            tmp = xdot(win_hi) + xdot(win_lo)  # (C*WH, P)
         okr = ok_t.reshape(1, p)
+        # pad the row count to a power of two so the tree fold is pure
+        # halving — the odd-count `.at[:1].add` fallback lowers to a
+        # scatter-add whose empty index constant pallas cannot capture
+        # under shard_map (it must be passed as an input)
+        pow2 = 1
+        while pow2 < wh:
+            pow2 *= 2
         for ci in range(c):
             rows = tmp[ci * wh:(ci + 1) * wh] * wyT  # (WH, P) f32 on the VPU
-            n_rows = wh
+            if pow2 != wh:
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((pow2 - wh, p), jnp.float32)], axis=0
+                )
+            n_rows = pow2
             while n_rows > 1:
                 half = n_rows // 2
-                folded = rows[:half] + rows[half:2 * half]
-                if n_rows % 2:
-                    folded = folded.at[:1].add(rows[2 * half:n_rows])
-                rows = folded
+                rows = rows[:half] + rows[half:2 * half]
                 n_rows = half
             out_ref[0, ci] = (rows * okr).reshape(th, tw).astype(out_ref.dtype)
 
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "precision", "out_dtype", "src_exact_bf16")
+)
 def project_sample_planar_v4(
     src_planar: jnp.ndarray,   # (N, C, H_s, W_s)
     cam_params: jnp.ndarray,   # (N, PARAM_SIZE) from pack_camera_params
@@ -503,6 +522,7 @@ def project_sample_planar_v4(
     interpret: bool | None = None,
     precision=None,
     out_dtype=jnp.float32,
+    src_exact_bf16: bool = False,
 ):
     """Fused plane-sweep projection + bilinear sampling (kernel v4: see the
     section comment). Returns channel-planar (sampled (N, C, H, W), valid
@@ -527,7 +547,7 @@ def project_sample_planar_v4(
     wh = min(V4_WINDOW_H, hs_pad)
 
     out, valid, clipped = pl.pallas_call(
-        _make_project_kernel_v4(ww, wh, c, hs, ws, precision),
+        _make_project_kernel_v4(ww, wh, c, hs, ws, precision, src_exact_bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam params (N, PARAM_SIZE)

@@ -141,7 +141,7 @@ def process_frames_sharded(
     ``base_ctx`` supplies the cameras/masks; per-frame image-dependent state
     (variance, planar sampling stack) is built on device.
     """
-    from ..ops import sampling, warp_pallas
+    from ..ops import cost, sampling, warp_pallas
 
     frame_imgs = jnp.asarray(frame_imgs, jnp.float32)
     f, n, h, w = frame_imgs.shape[:4]
@@ -173,11 +173,12 @@ def process_frames_sharded(
                 src_variance=jax.vmap(sampling.rgb_variance)(imgs),
                 src_imgs_t=(
                     # f32, NOT bf16: bf16-sampled colors corrupt the SSD (the
-                    # round-2 RMSE tail); the kernel's hi/lo window split
-                    # (warp_pallas MATMUL_PRECISION) needs the f32 stack —
-                    # with a bf16 stack lo is identically 0 and exactness is
-                    # lost. Must match solver.make_level_context.
-                    warp_pallas.planar_for_sampling(imgs[..., :3]).astype(jnp.float32)
+                    # round-2 RMSE tail); the kernel needs the f32 stack.
+                    # Must match solver.make_level_context exactly, including
+                    # the k/256 quantization under cost.SRC_QUANT_EXACT.
+                    (cost.quantize_src if cost.SRC_QUANT_EXACT else lambda a: a)(
+                        warp_pallas.planar_for_sampling(imgs[..., :3]).astype(jnp.float32)
+                    )
                     if use_pallas
                     else None
                 ),

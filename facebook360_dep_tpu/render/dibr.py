@@ -118,6 +118,36 @@ def _fill_holes(zbuf2d: jnp.ndarray, iterations: int = 2) -> jnp.ndarray:
     return out
 
 
+def exp_alpha(cone):
+    """RigScene's exponential accumulation weight ``a' = exp(30 a) - 1``
+    (exponentialFS, RigScene.cpp:281-292; applied per subframe by
+    updateAccumulation :1009). cone in [0, 1]."""
+    return jnp.exp(30.0 * cone) - 1.0
+
+
+def resolve_fade(displacement_m):
+    """Displacement-based resolve fade (RigScene::render :1087-1095):
+    1 until 0.5 m from the rig center, ramps to 0.05 at 0.75 m; squared at
+    resolve time to die off faster."""
+    k_begin, k_end, k_min = 0.5, 0.75, 0.05
+    f = k_min + (1.0 - k_min) * jnp.clip((displacement_m - k_end) / (k_begin - k_end), 0.0, 1.0)
+    return f * f
+
+
+def accumulate_resolve(colors, cones, fade=1.0):
+    """The exact updateAccumulation + resolveAccumulation chain
+    (RigScene.cpp:1009-1035): per-subframe weight exp(30*cone)-1,
+    premultiplied additive blend, resolve divide by accumulated alpha with
+    ``fade``. colors (N, H, W, 3); cones (N, H, W) in [0, 1] (0 = subframe
+    does not cover the pixel). Returns (rgb (H, W, 3), alpha (H, W))."""
+    colors = jnp.asarray(colors, jnp.float32)
+    w = jnp.where(jnp.asarray(cones) > 0.0, exp_alpha(jnp.asarray(cones, jnp.float32)), 0.0)
+    acc_rgb = jnp.sum(w[..., None] * colors, axis=0)
+    acc_a = jnp.sum(w, axis=0)
+    rgb = jnp.where(acc_a[..., None] > 0.0, fade * acc_rgb / jnp.maximum(acc_a, 1e-20)[..., None], 0.0)
+    return rgb, acc_a
+
+
 @partial(jax.jit, static_argnames=("face_size", "mode", "width", "height"))
 def render_view(
     rig_cams: cam.Camera,  # stacked (N,), normalized
@@ -190,10 +220,14 @@ def render_view(
         point_depth = jnp.linalg.norm(world - c.position, axis=-1)
         visible = cam_depth >= 0.9 * point_depth
         # radial cone alpha: 1 at image center -> ~0 at the image edge
+        # (cameraFS), then the reference's exponential accumulation weight
+        # a' = exp(30 a) - 1 (exponentialFS / updateAccumulation,
+        # RigScene.cpp:281-292,1009) — sharpens camera blending strongly
+        # toward whichever camera sees the point most centrally
         centered = pix - 0.5
         r = 2.0 * jnp.linalg.norm(centered, axis=-1)
-        cone = jnp.maximum(1.0 - r, 1e-3)
-        wgt = jnp.where(sees_ok & visible & jnp.isfinite(sampled[..., 0]), cone, 0.0)
+        cone = jnp.maximum(1.0 - r, 1.0 / 255.0)
+        wgt = jnp.where(sees_ok & visible & jnp.isfinite(sampled[..., 0]), exp_alpha(cone), 0.0)
         return (sum_w + wgt, sum_wc + wgt[..., None] * jnp.nan_to_num(sampled)), None
 
     init = (jnp.zeros(out_hw, jnp.float32), jnp.zeros(out_hw + (3,), jnp.float32))

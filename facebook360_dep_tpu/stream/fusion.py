@@ -112,6 +112,14 @@ def fuse_frames(
                 cam_entry[ext] = {"offset": ext_begin, "size": writer.offset - ext_begin}
             cam_entry["offset"] = begin
             cam_entry["size"] = writer.offset - begin
+            # optional ConvertToBinary sidecar: true color texture dims
+            # (normalized rigs cannot provide them via camera aspect)
+            meta_path = os.path.join(bin_dir, cam_id, frame + ".meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as mf:
+                    meta = json.load(mf)
+                if "color_wh" in meta:
+                    cam_entry["color_wh"] = meta["color_wh"]
             writer.pad_to_stripe()
     writer.close()
     with open(os.path.join(fused_dir, "fused.json"), "w") as f:

@@ -1,15 +1,24 @@
 """The viewer's embedded WebGL2 page.
 
 Implements the reference RigScene pipeline in the browser
-(``render/RigScene.cpp:195-320, 995-1035``):
+(``render/RigScene.cpp:195-320, 995-1096``):
 
-- per camera: draw its displaced mesh (world positions precomputed by the
-  server from the equi-error .vtx, exactly cameraMeshVS's
-  ``camera + (focal/c) * direction(a,b)``) textured by its subframe color;
-- fragment alpha is the cone weight ``max(eps, 1 - 2*length(uv - 0.5))``
-  (cameraFS), premultiplied and accumulated additively into an RGBA32F
-  framebuffer (setupAccumulation's ONE/ONE blend);
-- a fullscreen resolve pass divides RGB by accumulated alpha (resolveFS).
+- per camera ("subframe"): draw its displaced mesh (world positions
+  precomputed by the server from the equi-error .vtx, exactly cameraMeshVS's
+  ``camera + (focal/c) * direction(a,b)``) depth-tested into a private
+  subframe FBO with cone alpha ``max(eps, 1 - 2*length(uv - 0.5))``
+  (cameraFS); a separate background-layer mesh, when the server advertises
+  one, draws into the same subframe after the foreground (renderSubframe
+  :955-966);
+- per-camera frustum culling: skip cameras whose near-infinity probe points
+  (server-computed, isVisible :1040-1066) all fall outside the frustum;
+- updateAccumulation (:1009): a fullscreen pass re-weights the subframe's
+  alpha exponentially ``a' = exp(30 a) - 1`` (exponentialFS :281-292) and
+  blends premultiplied-additively (SRC_ALPHA,ONE / ONE,ONE) into an RGBA32F
+  accumulation FBO;
+- resolveAccumulation (:1022): divide RGB by accumulated alpha scaled by the
+  displacement fade (1 within 0.5 m of the rig, ramps to 0.05 by 0.75 m,
+  squared — render() :1087-1095).
 
 Controls: drag = look, WASD/QE = move, scroll = dolly, [/] = frame step,
 space = play. No external assets (zero-egress friendly).
@@ -53,23 +62,32 @@ function lookDir(eye,yaw,pitch){
 const meshVS=`#version 300 es
 uniform mat4 transform; in vec3 pos; in vec2 uv; out vec2 texVar;
 void main(){ texVar = uv; gl_Position = transform * vec4(pos, 1.0); }`;
-// cameraFS: cone alpha, premultiplied for ONE/ONE accumulation
+// cameraFS: raw color + cone alpha into the subframe (RigScene.cpp:244-259)
 const meshFS=`#version 300 es
 precision highp float; uniform sampler2D tex; in vec2 texVar; out vec4 color;
 void main(){
   vec3 c = texture(tex, texVar).rgb;
   float cone = max(1.0/255.0, 1.0 - 2.0*length(texVar - 0.5));
-  color = vec4(c * cone, cone);
+  color = vec4(c, cone);
 }`;
 const quadVS=`#version 300 es
 in vec2 tex; out vec2 texVar;
 void main(){ gl_Position = vec4(2.0*tex-1.0, 0.0, 1.0); texVar = tex; }`;
-// resolveFS: unpremultiply
-const quadFS=`#version 300 es
+// exponentialFS (RigScene.cpp:281-292): a' = exp(30 a) - 1, blended
+// SRC_ALPHA,ONE / ONE,ONE into the accumulation buffer (updateAccumulation)
+const updateFS=`#version 300 es
 precision highp float; uniform sampler2D tex; in vec2 texVar; out vec4 color;
 void main(){
+  color = texture(tex, texVar);
+  color.a = exp(30.0 * color.a) - 1.0;
+}`;
+// resolveFS (RigScene.cpp:294-307): fade * premul.rgb / premul.a
+const quadFS=`#version 300 es
+precision highp float; uniform sampler2D tex; uniform float fade;
+in vec2 texVar; out vec4 color;
+void main(){
   vec4 a = texture(tex, texVar);
-  color = vec4(a.a > 0.0 ? a.rgb / a.a : vec3(0.0), 1.0);
+  color = vec4(a.a > 0.0 ? fade * a.rgb / a.a : vec3(0.0), 1.0);
 }`;
 function shader(type,src){const s=gl.createShader(type);gl.shaderSource(s,src);gl.compileShader(s);
   if(!gl.getShaderParameter(s,gl.COMPILE_STATUS))throw gl.getShaderInfoLog(s);return s}
@@ -81,34 +99,70 @@ function program(vs,fs,attrs){const p=gl.createProgram();gl.attachShader(p,shade
 
 // --- state -----------------------------------------------------------------
 let scene=null, meshes={}, textures={}, frames=[], frameIdx=0, playing=false;
-let eye=[0,0,0], yaw=0.0, pitch=0.0;
+let eye=[0,0,0], yaw=0.0, pitch=0.0, rigCenter=[0,0,0];
 const progMesh = gl && program(meshVS, meshFS, ["pos","uv"]);
+const progUpdate = gl && program(quadVS, updateFS, ["tex"]);
 const progQuad = gl && program(quadVS, quadFS, ["tex"]);
-let accumFBO=null, accumTex=null, fbw=0, fbh=0;
+let accumFBO=null, accumTex=null, subFBO=null, subTex=null, subDepth=null, fbw=0, fbh=0;
 const quadBuf = gl && gl.createBuffer();
 if (gl){gl.bindBuffer(gl.ARRAY_BUFFER, quadBuf);
   gl.bufferData(gl.ARRAY_BUFFER, new Float32Array([0,0,1,0,0,1,1,1]), gl.STATIC_DRAW);}
-window.viewerState = {ready:false, drawn:0, frames:0, floatOK};
+window.viewerState = {ready:false, drawn:0, culled:0, frames:0, floatOK, fade:1};
 
-function setupAccum(w,h){
-  if (accumFBO && w===fbw && h===fbh) return;
-  fbw=w; fbh=h;
-  if (accumTex) gl.deleteTexture(accumTex);
-  if (accumFBO) gl.deleteFramebuffer(accumFBO);
-  accumTex = gl.createTexture();
-  gl.bindTexture(gl.TEXTURE_2D, accumTex);
+function makeTex(w,h,fmt){
+  const t = gl.createTexture();
+  gl.bindTexture(gl.TEXTURE_2D, t);
   gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_MIN_FILTER, gl.NEAREST);
   gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_MAG_FILTER, gl.NEAREST);
-  gl.texStorage2D(gl.TEXTURE_2D, 1, floatOK ? gl.RGBA32F : gl.RGBA8, w, h);
+  gl.texStorage2D(gl.TEXTURE_2D, 1, fmt, w, h);
+  return t;
+}
+function setupFBOs(w,h){
+  if (accumFBO && w===fbw && h===fbh) return;
+  fbw=w; fbh=h;
+  for (const t of [accumTex, subTex]) if (t) gl.deleteTexture(t);
+  for (const f of [accumFBO, subFBO]) if (f) gl.deleteFramebuffer(f);
+  if (subDepth) gl.deleteRenderbuffer(subDepth);
+  // accumulation buffer (createFramebuffers: RGBA32F additive target)
+  accumTex = makeTex(w, h, floatOK ? gl.RGBA32F : gl.RGBA8);
   accumFBO = gl.createFramebuffer();
   gl.bindFramebuffer(gl.FRAMEBUFFER, accumFBO);
   gl.framebufferTexture2D(gl.FRAMEBUFFER, gl.COLOR_ATTACHMENT0, gl.TEXTURE_2D, accumTex, 0);
+  // per-camera subframe buffer with DEPTH (cameraFBO: fg/bg depth-tested)
+  subTex = makeTex(w, h, gl.RGBA8);
+  subDepth = gl.createRenderbuffer();
+  gl.bindRenderbuffer(gl.RENDERBUFFER, subDepth);
+  gl.renderbufferStorage(gl.RENDERBUFFER, gl.DEPTH_COMPONENT24, w, h);
+  subFBO = gl.createFramebuffer();
+  gl.bindFramebuffer(gl.FRAMEBUFFER, subFBO);
+  gl.framebufferTexture2D(gl.FRAMEBUFFER, gl.COLOR_ATTACHMENT0, gl.TEXTURE_2D, subTex, 0);
+  gl.framebufferRenderbuffer(gl.FRAMEBUFFER, gl.DEPTH_ATTACHMENT, gl.RENDERBUFFER, subDepth);
 }
 
-async function loadMesh(frame, id){
-  const key = frame+"/"+id;
+// isVisible (RigScene.cpp:1040-1066): a camera is culled when every
+// near-infinity probe point lands outside the clip frustum
+function cameraVisible(c, vp){
+  if (!c.cull_points) return true;
+  for (const p of c.cull_points){
+    const x = vp[0]*p[0]+vp[4]*p[1]+vp[8]*p[2]+vp[12];
+    const y = vp[1]*p[0]+vp[5]*p[1]+vp[9]*p[2]+vp[13];
+    const w = vp[3]*p[0]+vp[7]*p[1]+vp[11]*p[2]+vp[15];
+    if (w > 0 && -w < x && x < w && -w < y && y < w) return true;
+  }
+  return false;
+}
+
+// displacement fade (render() :1087-1095): 1 inside 0.5 m, 0.05 past 0.75 m
+function resolveFade(){
+  const d = Math.hypot(eye[0]-rigCenter[0], eye[1]-rigCenter[1], eye[2]-rigCenter[2]);
+  const f = 0.05 + 0.95 * Math.max(0, Math.min(1, (d - 0.75) / (0.5 - 0.75)));
+  return f * f;
+}
+
+async function loadMesh(frame, id, bg){
+  const key = (bg?"bg:":"")+frame+"/"+id;
   if (meshes[key]) return meshes[key];
-  const buf = await (await fetch(`/mesh/${frame}/${id}.bin`)).arrayBuffer();
+  const buf = await (await fetch(`/${bg?"bgmesh":"mesh"}/${frame}/${id}.bin`)).arrayBuffer();
   const [nv, nf] = new Uint32Array(buf, 0, 2);
   const pos = new Float32Array(buf, 8, nv*3);
   const uv  = new Float32Array(buf, 8+nv*12, nv*2);
@@ -137,58 +191,91 @@ async function loadTexture(frame, id){
   return textures[key] = t;
 }
 
+function fullscreenPass(prog, tex){
+  gl.useProgram(prog);
+  gl.activeTexture(gl.TEXTURE0);
+  gl.bindTexture(gl.TEXTURE_2D, tex);
+  gl.uniform1i(gl.getUniformLocation(prog,"tex"), 0);
+  gl.bindBuffer(gl.ARRAY_BUFFER, quadBuf);
+  gl.enableVertexAttribArray(0);
+  gl.vertexAttribPointer(0,2,gl.FLOAT,false,0,0);
+  gl.drawArrays(gl.TRIANGLE_STRIP, 0, 4);
+}
+
 async function draw(){
   if (!scene) return;
   const frame = frames[frameIdx];
   const w = canvas.clientWidth, h = canvas.clientHeight;
   canvas.width = w; canvas.height = h;
-  setupAccum(w, h);
+  setupFBOs(w, h);
   const look = lookDir(eye, yaw, pitch);
   const vp = mul(persp(1.2, w/h, 0.05, 2000.0), look.m);
 
-  // accumulate pass (RigScene::render: blend ONE, ONE into float FBO)
+  // clearAccumulation (RigScene.cpp:977-1003)
   gl.bindFramebuffer(gl.FRAMEBUFFER, accumFBO);
   gl.viewport(0,0,w,h);
   gl.clearColor(0,0,0,0); gl.clear(gl.COLOR_BUFFER_BIT);
-  gl.disable(gl.DEPTH_TEST);
-  gl.enable(gl.BLEND); gl.blendFunc(gl.ONE, gl.ONE);
-  gl.useProgram(progMesh);
-  gl.uniformMatrix4fv(gl.getUniformLocation(progMesh,"transform"), false, vp);
-  let drawn = 0;
+
+  let drawn = 0, culledN = 0;
   for (const c of scene.cameras){
     const mesh = meshes[frame+"/"+c.id], tex = textures[frame+"/"+c.id];
     if (!mesh || !tex) continue;
+    if (!cameraVisible(c, vp)){ culledN++; continue; }
+
+    // renderSubframe: depth-tested draw of the camera mesh (+ background
+    // layer mesh after it) into the private subframe FBO
+    gl.bindFramebuffer(gl.FRAMEBUFFER, subFBO);
+    gl.viewport(0,0,w,h);
+    gl.clearColor(0,0,0,0); gl.clearDepth(1.0);
+    gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
+    gl.enable(gl.DEPTH_TEST);
+    gl.disable(gl.BLEND);
+    gl.useProgram(progMesh);
+    gl.uniformMatrix4fv(gl.getUniformLocation(progMesh,"transform"), false, vp);
     gl.activeTexture(gl.TEXTURE0);
     gl.bindTexture(gl.TEXTURE_2D, tex);
     gl.uniform1i(gl.getUniformLocation(progMesh,"tex"), 0);
     gl.bindVertexArray(mesh.vao);
     gl.drawElements(gl.TRIANGLES, mesh.count, gl.UNSIGNED_INT, 0);
+    const bgMesh = meshes["bg:"+frame+"/"+c.id];
+    if (bgMesh){
+      gl.bindVertexArray(bgMesh.vao);
+      gl.drawElements(gl.TRIANGLES, bgMesh.count, gl.UNSIGNED_INT, 0);
+    }
+    gl.bindVertexArray(null);
+    gl.disable(gl.DEPTH_TEST);
+
+    // updateAccumulation: exponential re-weight + premultiplied add
+    gl.bindFramebuffer(gl.FRAMEBUFFER, accumFBO);
+    gl.enable(gl.BLEND);
+    gl.blendFuncSeparate(gl.SRC_ALPHA, gl.ONE, gl.ONE, gl.ONE);
+    fullscreenPass(progUpdate, subTex);
+    gl.disable(gl.BLEND);
     drawn++;
   }
-  gl.bindVertexArray(null);
 
-  // resolve pass (resolveFS)
+  // resolveAccumulation with the displacement fade
+  const fade = resolveFade();
   gl.bindFramebuffer(gl.FRAMEBUFFER, null);
   gl.viewport(0,0,w,h);
-  gl.disable(gl.BLEND);
   gl.useProgram(progQuad);
-  gl.activeTexture(gl.TEXTURE0);
-  gl.bindTexture(gl.TEXTURE_2D, accumTex);
-  gl.uniform1i(gl.getUniformLocation(progQuad,"tex"), 0);
-  gl.bindBuffer(gl.ARRAY_BUFFER, quadBuf);
-  gl.enableVertexAttribArray(0);
-  gl.vertexAttribPointer(0,2,gl.FLOAT,false,0,0);
-  gl.drawArrays(gl.TRIANGLE_STRIP, 0, 4);
+  gl.uniform1f(gl.getUniformLocation(progQuad,"fade"), fade);
+  fullscreenPass(progQuad, accumTex);
 
   window.viewerState.drawn = drawn;
-  hud.textContent = `frame ${frame}  (${frameIdx+1}/${frames.length})  cameras ${drawn}/${scene.cameras.length}`
+  window.viewerState.culled = culledN;
+  window.viewerState.fade = fade;
+  hud.textContent = `frame ${frame}  (${frameIdx+1}/${frames.length})  cameras ${drawn}/${scene.cameras.length} (culled ${culledN})  fade ${fade.toFixed(2)}`
     + `\neye ${eye.map(v=>v.toFixed(2))}  yaw ${yaw.toFixed(2)} pitch ${pitch.toFixed(2)}`
     + `\n[drag] look  [WASD/QE] move  [wheel] dolly  [[/]] frame  [space] play`;
 }
 
 async function ensureFrame(i){
   const frame = frames[i];
-  await Promise.all(scene.cameras.flatMap(c => [loadMesh(frame,c.id), loadTexture(frame,c.id)]));
+  const loads = scene.cameras.flatMap(c => [loadMesh(frame,c.id), loadTexture(frame,c.id)]);
+  if (scene.background)
+    loads.push(...scene.cameras.map(c => loadMesh(frame,c.id,true)));
+  await Promise.all(loads);
 }
 
 async function main(){
@@ -198,6 +285,7 @@ async function main(){
   // start at the rig centroid looking along the mean camera forward
   const n = scene.cameras.length;
   eye = [0,1,2].map(k => scene.cameras.reduce((s,c)=>s+c.position[k],0)/n);
+  rigCenter = eye.slice();
   const fwd = [0,1,2].map(k => scene.cameras.reduce((s,c)=>s+c.forward[k],0)/n);
   yaw = Math.atan2(fwd[2], fwd[0]); pitch = Math.asin(Math.max(-1,Math.min(1,fwd[1])));
   await ensureFrame(0);

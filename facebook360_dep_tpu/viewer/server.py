@@ -43,7 +43,8 @@ class SceneData:
     """Decoded-on-demand fused stream with a small readahead cache
     (AsyncLoader/VideoFile role, render/VideoFile.h:25-180)."""
 
-    def __init__(self, rig_path: str, fused_dir: str, num_disks: int = 1, readahead: int = 3):
+    def __init__(self, rig_path: str, fused_dir: str, num_disks: int = 1, readahead: int = 3,
+                 background_fused_dir: str | None = None):
         self.rig = cam.load_rig(rig_path)
         self.fused_dir = fused_dir
         self.num_disks = num_disks
@@ -51,11 +52,20 @@ class SceneData:
         with open(os.path.join(fused_dir, "fused.json")) as f:
             self.catalog = json.load(f)
         self.frames = sorted(self.catalog["frames"].keys())
+        # optional separate background layer (RigScene.h backgroundSubframes;
+        # drawn depth-tested after the foreground into each subframe)
+        self.bg_fused_dir = background_fused_dir
+        self.bg_catalog = None
+        if background_fused_dir:
+            with open(os.path.join(background_fused_dir, "fused.json")) as f:
+                self.bg_catalog = json.load(f)
         self._cache: dict = {}
         self._lock = threading.Lock()
 
     def color_wh(self, frame: str, cam_id: str) -> tuple[int, int]:
         entry = self.catalog["frames"][frame][cam_id]
+        if "color_wh" in entry:  # recorded by ConvertToBinary via fusion
+            return tuple(entry["color_wh"])
         if ".bc7" in entry:
             # BC7 is 1 byte/texel; subframes keep the camera aspect
             camera = self.rig.camera(self.rig.ids.index(cam_id))
@@ -69,16 +79,22 @@ class SceneData:
         w = int(round(np.sqrt(texels * res[0] / res[1])))
         return w, texels // max(w, 1)
 
-    def mesh(self, frame: str, cam_id: str) -> bytes:
+    def mesh(self, frame: str, cam_id: str, background: bool = False) -> bytes:
         """World-space mesh buffer: the cameraMeshVS displacement
         (RigScene.cpp:195-218: depth = focal / c, position = camera +
         depth * direction(a, b)) computed host-side per vertex."""
-        key = ("mesh", frame, cam_id)
+        key = ("bgmesh" if background else "mesh", frame, cam_id)
         with self._lock:
             if key in self._cache:
                 return self._cache[key]
-        raw_v = fusion.read_fused_entry(self.fused_dir, self.catalog, frame, cam_id, ".vtx", self.num_disks)
-        raw_i = fusion.read_fused_entry(self.fused_dir, self.catalog, frame, cam_id, ".idx", self.num_disks)
+        fused_dir = self.bg_fused_dir if background else self.fused_dir
+        catalog = self.bg_catalog if background else self.catalog
+        if background:
+            # the background layer is a single static frame (reference
+            # background_disp contract): serve its first frame for any request
+            frame = sorted(catalog["frames"].keys())[0]
+        raw_v = fusion.read_fused_entry(fused_dir, catalog, frame, cam_id, ".vtx", self.num_disks)
+        raw_i = fusion.read_fused_entry(fused_dir, catalog, frame, cam_id, ".idx", self.num_disks)
         verts = np.frombuffer(raw_v, np.float32).reshape(-1, 3).astype(np.float64)
         faces = np.frombuffer(raw_i, np.uint32).reshape(-1, 3)
 
@@ -130,18 +146,38 @@ class SceneData:
             self._cache.pop(next(iter(self._cache)))
 
     def scene_json(self) -> bytes:
+        import jax.numpy as jnp
+
         cams = []
         for i, cam_id in enumerate(self.rig.ids):
             c = self.rig.camera(i)
+            # per-camera frustum-culling probes: near-infinity world points at
+            # a 4x4 fractional grid minus corners (isVisible,
+            # RigScene.cpp:1040-1066) — the page culls a camera whose probes
+            # all fall outside the view frustum
+            k = 3
+            probes = []
+            for yi in range(k + 1):
+                for xi in range(k + 1):
+                    if (yi in (0, k)) and (xi in (0, k)):
+                        continue  # don't check the corners
+                    # normalized rigs use [0,1] pixel units: frac IS the pixel
+                    frac = np.asarray([xi / k, yi / k], np.float64)
+                    ray = np.asarray(cam.ray_dir(c, jnp.asarray(frac)))
+                    probes.append(
+                        (np.asarray(c.position, np.float64) + ray * 1e4).tolist()
+                    )
             cams.append({
                 "id": cam_id,
                 "position": np.asarray(c.position, np.float64).tolist(),
                 "forward": np.asarray(c.forward, np.float64).tolist(),
+                "cull_points": probes,
             })
         return json.dumps({
             "frames": self.frames,
             "cameras": cams,
             "readahead": self.readahead,
+            "background": self.bg_catalog is not None,
         }).encode()
 
 
@@ -168,6 +204,12 @@ def make_handler(scene: SceneData):
                 elif path.startswith("/mesh/"):
                     _, _, frame, rest = path.split("/", 3)
                     self._send(scene.mesh(frame, rest[: -len(".bin")]), "application/octet-stream")
+                elif path.startswith("/bgmesh/"):
+                    _, _, frame, rest = path.split("/", 3)
+                    self._send(
+                        scene.mesh(frame, rest[: -len(".bin")], background=True),
+                        "application/octet-stream",
+                    )
                 elif path.startswith("/color/"):
                     _, _, frame, rest = path.split("/", 3)
                     self._send(scene.color_png(frame, rest[: -len(".png")]), "image/png")
@@ -184,9 +226,10 @@ def make_handler(scene: SceneData):
 
 
 def serve(rig_path: str, fused_dir: str, num_disks: int = 1, port: int = 0,
-          readahead: int = 3) -> ThreadingHTTPServer:
+          readahead: int = 3, background_fused_dir: str | None = None) -> ThreadingHTTPServer:
     """Start the viewer server (returns immediately; .serve_forever() to block)."""
-    scene = SceneData(rig_path, fused_dir, num_disks, readahead)
+    scene = SceneData(rig_path, fused_dir, num_disks, readahead,
+                      background_fused_dir=background_fused_dir)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(scene))
     log.info(
         "6DoF viewer: http://127.0.0.1:%d/ (%d frames, %d cameras)",

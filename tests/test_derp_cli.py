@@ -164,3 +164,56 @@ def test_plot_matches_debug(project):
     assert files, "no plotMatches output"
     # landing coords are embedded in the filename (DerpUtil.cpp:186-195)
     assert any(f"{rig.ids[0]}_x=40_y=30->" in os.path.basename(f) for f in files)
+
+
+@pytest.mark.slow
+def test_profile_dir_writes_trace(project, tmp_path):
+    """--profile_dir (SURVEY 5.1): the solve runs under jax.profiler.trace
+    and leaves a non-empty trace tree."""
+    from facebook360_dep_tpu.cli import derp_cli
+
+    root, rig, gt = project
+    out_root = os.path.join(root, "out_prof")
+    prof = str(tmp_path / "trace")
+    derp_cli.main(
+        [
+            "--input_root", root,
+            "--output_root", out_root,
+            "--min_depth_m", "1.0",
+            "--max_depth_m", "100.0",
+            "--level_start", "2",
+            "--level_end", "2",
+            "--resolution", "80",
+            "--profile_dir", prof,
+        ]
+    )
+    files = [os.path.join(dp, f) for dp, _, fns in os.walk(prof) for f in fns]
+    assert files, "profiler trace directory is empty"
+    assert any(f.endswith((".pb", ".json.gz", ".trace.json.gz", ".xplane.pb")) for f in files), files
+
+
+def test_sigterm_dumps_stack():
+    """initDep parity: SIGTERM produces a faulthandler stack dump on stderr
+    (util/SystemUtil.cpp signal handlers)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    code = (
+        "import facebook360_dep_tpu.cli, os, sys, time\n"
+        "print('READY', flush=True)\n"
+        "time.sleep(30)\n"
+        "print('SURVIVED', flush=True)\n"
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    assert proc.stdout.readline().strip() == "READY"
+    proc.send_signal(signal.SIGTERM)
+    time.sleep(1.0)
+    proc.kill()
+    _, err = proc.communicate(timeout=30)
+    assert "Current thread" in err or "Stack (most recent call first)" in err, err

@@ -59,10 +59,27 @@ def test_color_png(viewer):
 
 def test_page_served(viewer):
     html = urllib.request.urlopen(viewer + "/").read().decode()
-    # the RigScene pipeline pieces are present
-    for needle in ("webgl2", "EXT_color_buffer_float", "gl.ONE, gl.ONE", "a.rgb / a.a"):
+    # the RigScene pipeline pieces are present: exponential accumulation
+    # (exponentialFS), premultiplied blend, fade resolve, frustum culling
+    for needle in (
+        "webgl2", "EXT_color_buffer_float", "exp(30.0 * color.a) - 1.0",
+        "blendFuncSeparate(gl.SRC_ALPHA, gl.ONE, gl.ONE, gl.ONE)",
+        "fade * a.rgb / a.a", "cameraVisible", "DEPTH_COMPONENT24", "bgmesh",
+    ):
         assert needle in html, needle
     assert urllib.request.urlopen(viewer + "/scene.json").status == 200
+
+
+def test_scene_cull_points(viewer):
+    scene = json.load(urllib.request.urlopen(viewer + "/scene.json"))
+    pts = scene["cameras"][0]["cull_points"]
+    # 4x4 fractional grid minus the 4 corners (isVisible, RigScene.cpp:1052)
+    assert len(pts) == 12
+    # near-infinity points: ~1e4 m from the camera
+    p0 = np.asarray(scene["cameras"][0]["position"])
+    d = np.linalg.norm(np.asarray(pts) - p0, axis=1)
+    assert (d > 9e3).all() and (d < 1.1e4).all()
+    assert scene["background"] is False
 
 
 def test_404(viewer):
