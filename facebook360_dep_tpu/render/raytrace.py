@@ -335,30 +335,32 @@ def render_mesh_scene(rig, size_wh, mesh: TriangleMesh, bvh: FlatBVH | None = No
     )
 
     @partial(jax.jit, static_argnames=("w", "h"))
-    def render(cams, bvh, mesh, w, h):
+    def render_one(c, bvh, mesh, w, h):
         grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
+        dirs = cam.ray_dir(c, grid)  # (H, W, 3)
 
-        def one(c):
-            dirs = cam.ray_dir(c, grid)  # (H, W, 3)
+        def rows(d_chunk):
+            o = jnp.broadcast_to(c.position, d_chunk.shape)
+            t, tri = intersect_bvh(bvh, mesh, o, d_chunk)
+            hit = c.position + d_chunk * t[..., None]
+            col = shade(mesh, hit, tri)
+            return col, jnp.where(jnp.isfinite(t), 1.0 / t, jnp.nan)
 
-            def rows(d_chunk):
-                o = jnp.broadcast_to(c.position, d_chunk.shape)
-                t, tri = intersect_bvh(bvh, mesh, o, d_chunk)
-                hit = c.position + d_chunk * t[..., None]
-                col = shade(mesh, hit, tri)
-                return col, jnp.where(jnp.isfinite(t), 1.0 / t, jnp.nan)
+        n_chunks = -(-h // row_chunk)
+        pad = n_chunks * row_chunk - h
+        dirs_p = jnp.pad(dirs, ((0, pad), (0, 0), (0, 0)))
+        col, disp = jax.lax.map(rows, dirs_p.reshape(n_chunks, row_chunk, w, 3))
+        return col.reshape(-1, w, 3)[:h], disp.reshape(-1, w)[:h]
 
-            n_chunks = -(-h // row_chunk)
-            pad = n_chunks * row_chunk - h
-            dirs_p = jnp.pad(dirs, ((0, pad), (0, 0), (0, 0)))
-            col, disp = jax.lax.map(
-                rows, dirs_p.reshape(n_chunks, row_chunk, w, 3)
-            )
-            return col.reshape(-1, w, 3)[:h], disp.reshape(-1, w)[:h]
-
-        return jax.vmap(one)(cams)
-
-    colors, disparity = render(cams, bvh, mesh, w, h)
+    # cameras render sequentially (one jit, N executions): vmapping the
+    # camera axis over the chunked lax.map makes XLA batch the traversal
+    # intermediates across ALL cameras x chunks — >25 GB at 2K x 16 cams
+    outs = [
+        render_one(jax.tree.map(lambda a: a[i], cams), bvh, mesh, w, h)
+        for i in range(len(nrig.ids))
+    ]
+    colors = jnp.stack([o[0] for o in outs])
+    disparity = jnp.stack([o[1] for o in outs])
     if as_numpy:
         return np.asarray(colors), np.asarray(disparity)
     return colors, disparity
