@@ -335,30 +335,41 @@ def render_mesh_scene(rig, size_wh, mesh: TriangleMesh, bvh: FlatBVH | None = No
     )
 
     @partial(jax.jit, static_argnames=("w", "h"))
-    def render_one(c, bvh, mesh, w, h):
+    def ray_dirs(c, w, h):
         grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
-        dirs = cam.ray_dir(c, grid)  # (H, W, 3)
+        return cam.ray_dir(c, grid)  # (H, W, 3)
 
-        def rows(d_chunk):
-            o = jnp.broadcast_to(c.position, d_chunk.shape)
+    # TPU-first dispatch: the serial while_loop BVH traversal is the right
+    # structure for CPU but hostile to the TPU's lockstep lanes (minutes for
+    # a 2K x 16-cam fixture). Below a few hundred triangles, dense all-pairs
+    # intersection vectorizes onto the VPU and wins by orders of magnitude.
+    small = mesh.vertices.shape[0] <= 512
+
+    @jax.jit
+    def render_chunk(pos, d_chunk, bvh, mesh):
+        o = jnp.broadcast_to(pos, d_chunk.shape)
+        if small:
+            t, tri = intersect_brute(mesh, o, d_chunk)
+        else:
             t, tri = intersect_bvh(bvh, mesh, o, d_chunk)
-            hit = c.position + d_chunk * t[..., None]
-            col = shade(mesh, hit, tri)
-            return col, jnp.where(jnp.isfinite(t), 1.0 / t, jnp.nan)
+        hit = pos + d_chunk * t[..., None]
+        col = shade(mesh, hit, tri)
+        return col, jnp.where(jnp.isfinite(t), 1.0 / t, jnp.nan)
 
-        n_chunks = -(-h // row_chunk)
-        pad = n_chunks * row_chunk - h
-        dirs_p = jnp.pad(dirs, ((0, pad), (0, 0), (0, 0)))
-        col, disp = jax.lax.map(rows, dirs_p.reshape(n_chunks, row_chunk, w, 3))
-        return col.reshape(-1, w, 3)[:h], disp.reshape(-1, w)[:h]
-
-    # cameras render sequentially (one jit, N executions): vmapping the
-    # camera axis over the chunked lax.map makes XLA batch the traversal
-    # intermediates across ALL cameras x chunks — >25 GB at 2K x 16 cams
-    outs = [
-        render_one(jax.tree.map(lambda a: a[i], cams), bvh, mesh, w, h)
-        for i in range(len(nrig.ids))
-    ]
+    # cameras AND row chunks iterate on the host (one jit, many short device
+    # calls): vmapping the camera axis batched >25 GB of traversal
+    # intermediates at 2K x 16 cams, and folding all chunks into one device
+    # program made it long enough to trip the TPU worker watchdog
+    outs = []
+    for i in range(len(nrig.ids)):
+        c = jax.tree.map(lambda a: a[i], cams)
+        dirs = ray_dirs(c, w, h)
+        cols, disps = [], []
+        for r0 in range(0, h, row_chunk):
+            col, disp = render_chunk(c.position, dirs[r0:r0 + row_chunk], bvh, mesh)
+            cols.append(col)
+            disps.append(disp)
+        outs.append((jnp.concatenate(cols, axis=0), jnp.concatenate(disps, axis=0)))
     colors = jnp.stack([o[0] for o in outs])
     disparity = jnp.stack([o[1] for o in outs])
     if as_numpy:
