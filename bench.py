@@ -196,6 +196,7 @@ def main():
     rel_rmse_cov = float(
         np.sqrt(np.mean((disp_np[vc] - gt_np[vc]) ** 2)) / np.mean(gt_np[vc])
     )
+    rel_median = float(np.median(np.abs(disp_np[vc] - gt_np[vc]) / gt_np[vc]))
     log(
         f"{elapsed()} pyramid {pyramid_s_per_map:.3f}s/map, rel RMSE {rel_rmse:.4f} "
         f"(covered {rel_rmse_cov:.4f} over {cov.mean():.1%})"
@@ -261,6 +262,11 @@ def main():
     vc_occ = v_occ & cov_occ
     rmse_occ_cov = float(
         np.sqrt(np.mean((disp_occ_np[vc_occ] - gt_occ_np[vc_occ]) ** 2)) / np.mean(gt_occ_np[vc_occ])
+    )
+    # RMSE on the occluder room is dominated by the 1-px bands at depth
+    # discontinuities; the median shows the bulk accuracy
+    rel_median_occ = float(
+        np.median(np.abs(disp_occ_np[vc_occ] - gt_occ_np[vc_occ]) / gt_occ_np[vc_occ])
     )
     ctx_occ = build_ctx(WIDTHS[0], dst_rig, colors_occ)
     mssim_occ = float(rephoto_mssim(ctx_occ, jnp.nan_to_num(disp_occ[0], nan=1e-4))) * 100.0
@@ -385,6 +391,7 @@ def main():
                     "level_times_for_2_maps": level_times,
                     "disparity_rel_rmse_full_pyramid_vs_gt": round(rel_rmse, 6),
                     "disparity_rel_rmse_covered_pixels": round(rel_rmse_cov, 6),
+                    "disparity_rel_median_covered": round(rel_median, 6),
                     "covered_pixel_fraction": round(float(cov.mean()), 4),
                     "rephoto_mssim_pct": round(mssim, 2),
                     "coarsest_level_s_per_map": round(coarsest_s / BENCH_DST, 4),
@@ -393,10 +400,12 @@ def main():
                     "temporal_filter_s_per_frame": round(t_tf, 4),
                     "publish_s_per_frame_camera": round(t_pub, 4),
                     "publish_spread_s": round(pub_spread, 4),
+                    "single_pass_sampler": bool(getattr(costmod, "SRC_QUANT_EXACT", False)),
                     "occluder_scene": {
                         "pyramid_s_per_map": round(pyramid_occ_s_per_map, 4),
                         "disparity_rel_rmse_vs_gt": round(rmse_occ, 6),
                         "disparity_rel_rmse_covered_pixels": round(rmse_occ_cov, 6),
+                        "disparity_rel_median_covered": round(rel_median_occ, 6),
                         "covered_pixel_fraction": round(float(cov_occ.mean()), 4),
                         "rephoto_mssim_pct": round(mssim_occ, 2),
                     },
