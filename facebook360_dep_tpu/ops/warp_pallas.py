@@ -199,25 +199,25 @@ def planar_for_sampling(imgs: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(imgs, (0, 3, 1, 2))
 
 
-def pad_to_tiles(x: jnp.ndarray):
+def pad_to_tiles(x: jnp.ndarray, th: int = TILE_H, tw: int = TILE_W):
     """Pad leading (H, W) dims up to the tile grid with edge values (zero
     padding would poison the per-tile window-origin min in the kernel).
     Returns (padded, (H, W))."""
     h, w = x.shape[:2]
-    ph = (-h) % TILE_H
-    pw = (-w) % TILE_W
+    ph = (-h) % th
+    pw = (-w) % tw
     if ph or pw:
         pad = [(0, ph), (0, pw)] + [(0, 0)] * (x.ndim - 2)
         x = jnp.pad(x, pad, mode="edge")
     return x, (h, w)
 
 
-def pad_to_tiles_nhw(x: jnp.ndarray):
+def pad_to_tiles_nhw(x: jnp.ndarray, th: int = TILE_H, tw: int = TILE_W):
     """Pad the (H, W) dims of an (N, H, W, ...) stack to the tile grid with
     edge values (see pad_to_tiles)."""
     h, w = x.shape[1:3]
-    ph = (-h) % TILE_H
-    pw = (-w) % TILE_W
+    ph = (-h) % th
+    pw = (-w) % tw
     if ph or pw:
         pad = [(0, 0), (0, ph), (0, pw)] + [(0, 0)] * (x.ndim - 3)
         x = jnp.pad(x, pad, mode="edge")
@@ -323,7 +323,14 @@ def _atan2_nonneg(a, b):
 #     C=3, WH=32 instead of three 48->128-padded passes.
 # ---------------------------------------------------------------------------
 
-V4_WINDOW_H = 32   # sublane axis: origin aligned to 8 -> y-magnification <= (32-8-2)/16
+# Default v4 tile geometry (round-3 sweep on v5e, tools note in NOTES_ROUND4):
+# dst tiles are (24, 128) so the stacked window is C*40 = 120 MXU rows — one
+# nearly-full 128-row pass (the old 16x128/32-row config wasted 25% of the
+# pass on padding; measured 88 vs 96 ms per 2K 16-src sampler launch).
+# ww=256 would cut another 10 ms but clips 0.09% of samples (magnification
+# <= 1.0 only) and any clipped source poisons the whole pixel — rejected.
+V4_TILE_H = 24     # dst tile rows (tile width stays TILE_W = 128)
+V4_WINDOW_H = 40   # sublane axis: origin aligned to 8 -> y-magnification <= (40-8-2)/24
 V4_WINDOW_W = 384  # lane axis: origin aligned to 128 -> x-magnification <= (384-128-2)/128
 
 
@@ -511,7 +518,10 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "precision", "out_dtype", "src_exact_bf16")
+    jax.jit,
+    static_argnames=(
+        "interpret", "precision", "out_dtype", "src_exact_bf16", "th", "tw", "wh_max", "ww_max"
+    ),
 )
 def project_sample_planar_v4(
     src_planar: jnp.ndarray,   # (N, C, H_s, W_s)
@@ -523,6 +533,10 @@ def project_sample_planar_v4(
     precision=None,
     out_dtype=jnp.float32,
     src_exact_bf16: bool = False,
+    th: int | None = None,     # dst tile height (default V4_TILE_H)
+    tw: int | None = None,     # dst tile width (default TILE_W)
+    wh_max: int | None = None, # window rows (default V4_WINDOW_H)
+    ww_max: int | None = None, # window cols (default V4_WINDOW_W)
 ):
     """Fused plane-sweep projection + bilinear sampling (kernel v4: see the
     section comment). Returns channel-planar (sampled (N, C, H, W), valid
@@ -530,6 +544,10 @@ def project_sample_planar_v4(
     costs must be treated as unevaluable)."""
     if interpret is None:
         interpret = _default_interpret()
+    th = V4_TILE_H if th is None else th
+    tw = TILE_W if tw is None else tw
+    wh_max = V4_WINDOW_H if wh_max is None else wh_max
+    ww_max = V4_WINDOW_W if ww_max is None else ww_max
     n = src_planar.shape[0]
     _, c, hs, ws = src_planar.shape
     # edge-pad sources to the (8, 128) DMA tiling; the kernel keeps using
@@ -539,12 +557,12 @@ def project_sample_planar_v4(
     if ph or pw:
         src_planar = jnp.pad(src_planar, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="edge")
     hs_pad, ws_pad = hs + ph, ws + pw
-    disparity_p, (h0, w0) = pad_to_tiles(disparity)
-    rays_p, _ = pad_to_tiles_nhw(rays)
+    disparity_p, (h0, w0) = pad_to_tiles(disparity, th, tw)
+    rays_p, _ = pad_to_tiles_nhw(rays, th, tw)
     h, w = disparity_p.shape
-    grid = (n, h // TILE_H, w // TILE_W)
-    ww = min(V4_WINDOW_W, ws_pad)
-    wh = min(V4_WINDOW_H, hs_pad)
+    grid = (n, h // th, w // tw)
+    ww = min(ww_max, ws_pad)
+    wh = min(wh_max, hs_pad)
 
     out, valid, clipped = pl.pallas_call(
         _make_project_kernel_v4(ww, wh, c, hs, ws, precision, src_exact_bf16),
@@ -552,14 +570,14 @@ def project_sample_planar_v4(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam params (N, PARAM_SIZE)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # dst position (1, 4)
-            pl.BlockSpec((TILE_H, TILE_W), lambda s, i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE_H, TILE_W), lambda s, i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda s, i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, th, tw), lambda s, i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, c, TILE_H, TILE_W), lambda s, i, j: (s, 0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, th, tw), lambda s, i, j: (s, 0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, tw), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, c, h, w), out_dtype),
