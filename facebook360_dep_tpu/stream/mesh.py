@@ -33,11 +33,11 @@ def get_vertexes_equi_error(depth: np.ndarray, camera: cam.Camera) -> np.ndarray
     h, w = depth.shape
     res = np.asarray(camera.resolution, np.float64)
     focal = float(np.asarray(camera.focal)[0])
-    ys, xs = np.mgrid[0:h, 0:w]
-    vx = res[0] / w * (xs + 0.5)
-    vy = res[1] / h * (ys + 0.5)
-    vz = focal / depth.astype(np.float64)
-    return np.stack([vx, vy, vz], axis=-1).reshape(-1, 3)
+    out = np.empty((h, w, 3), np.float64)
+    out[..., 0] = (res[0] / w) * (np.arange(w, dtype=np.float64) + 0.5)
+    out[..., 1] = ((res[1] / h) * (np.arange(h, dtype=np.float64) + 0.5))[:, None]
+    np.divide(focal, depth, out=out[..., 2], dtype=np.float64)
+    return out.reshape(-1, 3)
 
 
 def get_triangle_masks(
@@ -48,31 +48,40 @@ def get_triangle_masks(
     corner_depths: (Q, 4) depth proxies in order (tl, tr, bl, br).
     Returns (Q, 4) bool: which of the 4 corner triangles each quad emits.
     """
-    q = corner_depths.shape[0]
-    order = np.argsort(corner_depths, axis=1, kind="stable")
-    v = np.take_along_axis(corner_depths, order, axis=1)  # sorted ascending
+    # 4-element min/max sorting network for the sorted corner values (the
+    # original (Q, 4) stable argsort was the hot line of the whole publish
+    # mesh build); tie handling matches the stable sort exactly — the
+    # nearest index is the FIRST min (np.argmin) and the farthest the LAST
+    # max (reversed argmax), as stable ascending order leaves them
+    c0, c1, c2, c3 = (corner_depths[:, i] for i in range(4))
+    m01, big01 = np.minimum(c0, c1), np.maximum(c0, c1)
+    m23, big23 = np.minimum(c2, c3), np.maximum(c2, c3)
+    v0 = np.minimum(m01, m23)
+    v3 = np.maximum(big01, big23)
+    mid_a = np.maximum(m01, m23)
+    mid_b = np.minimum(big01, big23)
+    v1 = np.minimum(mid_a, mid_b)
+    v2 = np.maximum(mid_a, mid_b)
 
-    out = np.zeros((q, 4), bool)
     with np.errstate(divide="ignore", invalid="ignore"):
-        all_close = v[:, 0] / v[:, 3] > tear_ratio
-        lo = v[:, 0] / v[:, 2]
-        hi = v[:, 1] / v[:, 3]
+        all_close = v0 / v3 > tear_ratio
+        lo = v0 / v2
+        hi = v1 / v3
 
-    tl, tr, bl, br = (corner_depths[:, i] for i in range(4))
-    diag_tlbr = np.abs(tl - br) < np.abs(tr - bl)
-    # both triangles along the shallowest diagonal
-    out[all_close & diag_tlbr] |= np.asarray([False, True, True, False])
-    out[all_close & ~diag_tlbr] |= np.asarray([True, False, False, True])
+    diag_tlbr = np.abs(c0 - c3) < np.abs(c1 - c2)
 
     three_low = ~all_close & (lo >= tear_ratio) & (lo > hi)
-    idx_low = order[:, 3] ^ 0x3  # triangle not touching the farthest corner
-    rows = np.nonzero(three_low)[0]
-    out[rows, idx_low[rows]] = True
-
+    idx_low = (3 - np.argmax(corner_depths[:, ::-1], axis=1)) ^ 0x3
     three_high = ~all_close & ~three_low & (hi >= tear_ratio)
-    idx_high = order[:, 0] ^ 0x3  # triangle not touching the nearest corner
-    rows = np.nonzero(three_high)[0]
-    out[rows, idx_high[rows]] = True
+    idx_high = np.argmin(corner_depths, axis=1) ^ 0x3
+
+    close_diag = all_close & diag_tlbr
+    close_anti = all_close & ~diag_tlbr
+    out = np.empty((corner_depths.shape[0], 4), bool)
+    out[:, 0] = close_anti | (three_low & (idx_low == 0)) | (three_high & (idx_high == 0))
+    out[:, 1] = close_diag | (three_low & (idx_low == 1)) | (three_high & (idx_high == 1))
+    out[:, 2] = close_diag | (three_low & (idx_low == 2)) | (three_high & (idx_high == 2))
+    out[:, 3] = close_anti | (three_low & (idx_low == 3)) | (three_high & (idx_high == 3))
     return out
 
 
@@ -96,21 +105,18 @@ def get_faces(
     corners = np.stack([tl, tr, bl, br], axis=-1).reshape(-1, 4)
     masks = get_triangle_masks(corners, tear_ratio)  # (Q, 4)
 
-    ys, xs = np.mgrid[0 : height - 1, 0 : width - 1]
-    base = (ys * width + xs).reshape(-1)
+    base = (
+        np.arange(height - 1, dtype=np.uint32)[:, None] * np.uint32(width)
+        + np.arange(width - 1, dtype=np.uint32)
+    ).reshape(-1)
     offsets = {"tl": 0, "tr": 1, "bl": width, "br": width + 1}
-
-    faces_per_tri = []
-    order_keys = []
-    for t in range(4):
-        rows = np.nonzero(masks[:, t])[0]
-        pat = _TRIANGLES[t]
-        f = np.stack([base[rows] + offsets[p] for p in pat], axis=-1)
-        faces_per_tri.append(f)
-        order_keys.append(rows * 4 + t)
-    faces = np.concatenate(faces_per_tri)
-    keys = np.concatenate(order_keys)
-    faces = faces[np.argsort(keys, kind="stable")]
+    # (4, 3) per-quad vertex offsets in triangle order 0..3; selecting the
+    # flattened (Q, 4) mask keeps the row-major (quad, triangle) emission
+    # order of the reference's scalar scan with no sort
+    pat = np.asarray(
+        [[offsets[p] for p in _TRIANGLES[t]] for t in range(4)], np.uint32
+    )
+    faces = (base[:, None, None] + pat[None]).reshape(-1, 3)[masks.reshape(-1)]
 
     if wrap_horizontally:
         extra = []
