@@ -33,6 +33,10 @@ import time
 
 import numpy as np
 
+from facebook360_dep_tpu.core.hostmem import tune_malloc
+
+tune_malloc()  # host-side configs (publish, IO) pay page faults without it
+
 _MEASURED = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
 if os.path.exists(_MEASURED):
     with open(_MEASURED) as _f:

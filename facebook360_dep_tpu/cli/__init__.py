@@ -19,6 +19,12 @@ if hasattr(_faulthandler, "register") and hasattr(_signal, "SIGTERM"):
     except (ValueError, OSError):  # non-main thread / exotic platforms
         pass
 
+# Large-buffer allocator tuning (see core/hostmem.py): without it every
+# image-sized numpy temp re-pays first-touch page faults per call.
+from ..core.hostmem import tune_malloc as _tune_malloc
+
+_tune_malloc()
+
 # Platform override for CLI processes: the environment may force-set
 # JAX_PLATFORMS (e.g. to a tunneled accelerator), and farm worker
 # subprocesses must be steerable to the CPU backend for tests/host-only
