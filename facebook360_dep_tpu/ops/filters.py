@@ -69,6 +69,31 @@ def joint_bilateral(
     return jnp.where(mask, out, image)
 
 
+def _sorting_network_pairs(n: int) -> list[tuple[int, int]]:
+    """Batcher odd-even mergesort comparator pairs for ``n`` inputs.
+
+    Built over the next power of two with out-of-range comparators dropped
+    (the dropped lanes behave as +inf padding, which never needs to move
+    down); validated exhaustively by the 0-1 principle in the test suite.
+    """
+    size = 1
+    while size < n:
+        size <<= 1
+    pairs: list[tuple[int, int]] = []
+    p = 1
+    while p < size:
+        k = p
+        while k >= 1:
+            for j in range(k % p, size - k, 2 * k):
+                for i in range(k):
+                    if (i + j) // (p * 2) == (i + j + k) // (p * 2):
+                        if i + j + k < n:
+                            pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
+
+
 def masked_median(
     image: jnp.ndarray,  # (H, W)
     background: jnp.ndarray | None,  # (H, W) or None
@@ -98,14 +123,26 @@ def masked_median(
                 m &= jnp.isfinite(v) & (v != 0)
             vals.append(v)
             valid.append(m)
-    vals = jnp.stack(vals)  # (K, H, W)
-    valid = jnp.stack(valid)
+    # Sort the K planes with a Batcher odd-even network of elementwise
+    # min/max (VPU-only) instead of jnp.sort + take_along_axis: the variadic
+    # K-way sort plus two gathers was ~107 ms/map at 2K on the TPU, the
+    # network runs in a few ms. Invalid samples become +FLT_MAX first, so
+    # the network never sees NaNs (min/max would propagate them).
     big = jnp.asarray(jnp.finfo(image.dtype).max)
-    sorted_vals = jnp.sort(jnp.where(valid, vals, big), axis=0)
-    n = jnp.sum(valid, axis=0)
+    planes = [jnp.where(m, v, big) for v, m in zip(vals, valid)]
+    for i, j in _sorting_network_pairs(len(planes)):
+        planes[i], planes[j] = jnp.minimum(planes[i], planes[j]), jnp.maximum(
+            planes[i], planes[j]
+        )
+    n = jnp.sum(jnp.stack(valid), axis=0)
     half = n // 2
-    upper = jnp.take_along_axis(sorted_vals, half[None], axis=0)[0]
-    lower = jnp.take_along_axis(sorted_vals, jnp.maximum(half - 1, 0)[None], axis=0)[0]
+    # rank select without gathers: planes are sorted ascending per pixel, so
+    # successively overwrite while the rank is still ahead
+    upper = planes[0]
+    lower = planes[0]
+    for i in range(1, len(planes)):
+        upper = jnp.where(half >= i, planes[i], upper)  # planes[half]
+        lower = jnp.where(half - 1 >= i, planes[i], lower)  # planes[max(half-1, 0)]
     median = jnp.where(n % 2 == 1, upper, (lower + upper) / 2.0)
     out = jnp.where(n > 0, median, 0.0)
     passthrough = jnp.zeros_like(image) if background is None else background

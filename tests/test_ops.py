@@ -100,6 +100,53 @@ def test_masked_median_ignores_nan_and_zero():
     assert float(out[1, 1]) == 5.0
 
 
+def test_sorting_network_zero_one_principle():
+    # A comparator network sorts all inputs iff it sorts all 0-1 inputs
+    # (Knuth 5.3.4); exhaustive over 2^9 vectors for the median-9 case plus
+    # the non-power-of-two sizes the filters use.
+    import itertools
+
+    for n in (2, 3, 5, 9, 25):
+        pairs = filters._sorting_network_pairs(n)
+        assert all(i < j < n for i, j in pairs)
+        if n > 9:
+            vectors = [np.random.default_rng(n).integers(0, 2, n) for _ in range(512)]
+        else:
+            vectors = [np.array(v) for v in itertools.product((0, 1), repeat=n)]
+        for v in vectors:
+            a = v.copy()
+            for i, j in pairs:
+                a[i], a[j] = min(a[i], a[j]), max(a[i], a[j])
+            assert (np.diff(a) >= 0).all(), (n, v, a)
+
+
+def test_masked_median_matches_numpy_on_random_maps():
+    # the sorting-network median must agree with a brute-force numpy median
+    # over valid window samples, across random masks/NaNs/zeros
+    rng = np.random.default_rng(7)
+    h = w = 12
+    img = rng.uniform(0.5, 2.0, (h, w)).astype(np.float32)
+    img[rng.uniform(size=(h, w)) < 0.1] = np.nan
+    img[rng.uniform(size=(h, w)) < 0.1] = 0.0
+    mask = rng.uniform(size=(h, w)) < 0.8
+    out = np.asarray(filters.masked_median(img, None, mask, radius=1))
+    for y in range(h):
+        for x in range(w):
+            if not mask[y, x]:
+                assert out[y, x] == 0.0
+                continue
+            samples = []
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w and mask[yy, xx]:
+                        v = img[yy, xx]
+                        if np.isfinite(v) and v != 0:
+                            samples.append(v)
+            expect = np.median(samples) if samples else 0.0
+            np.testing.assert_allclose(out[y, x], expect, rtol=1e-6, err_msg=f"{y},{x}")
+
+
 def test_joint_bilateral_flat_guide_is_box_mean():
     rng = np.random.RandomState(3)
     img = rng.rand(6, 6).astype(np.float32)
