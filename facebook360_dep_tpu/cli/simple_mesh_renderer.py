@@ -55,21 +55,25 @@ def render_format(fmt, rig, colors, disps, width, height, ipd, position):
     if fmt == "snapshot":
         color, _, _ = dibr.render_equirect(rig, colors, disps, center, width, height)
         return color
-    # stereo: fixed-baseline eye pair offset along +-x
-    left = center + np.asarray([-ipd / 2, 0, 0], np.float32)
-    right = center + np.asarray([+ipd / 2, 0, 0], np.float32)
-    cl, dl, _ = dibr.render_equirect(rig, colors, disps, left, width, height)
-    cr, dr, _ = dibr.render_equirect(rig, colors, disps, right, width, height)
+    # stereo: ODS latitude-faded IPD warp, one render per eye. The
+    # reference feeds halfIpdM = +-ipd/2 as the shader uniform
+    # (SimpleMeshRenderer.cpp:407-427 -> CanopyScene.cpp:77-133); positive
+    # is the left eye. Both eyes render from the SAME center — the pupil
+    # offset happens per point inside the warp (dibr.ods_warp).
+    if fmt == "tb3dof":
+        # color over disparity, single (mono) view
+        cl, dl, _ = dibr.render_equirect(rig, colors, disps, center, width, height)
+        disp_vis = np.repeat(np.nan_to_num(dl)[..., None], 3, axis=-1)
+        return np.concatenate([cl, disp_vis], axis=0)
+    half = ipd / 2.0
+    cl, _, _ = dibr.render_equirect(rig, colors, disps, center, width, height, ipd=+half)
+    cr, _, _ = dibr.render_equirect(rig, colors, disps, center, width, height, ipd=-half)
     if fmt == "tbstereo":
         return np.concatenate([cl, cr], axis=0)  # top-bottom
     if fmt == "lr180":
         # central 180 degrees side by side
         q = width // 4
         return np.concatenate([cl[:, q : 3 * q], cr[:, q : 3 * q]], axis=1)
-    if fmt == "tb3dof":
-        # color over disparity, single eye
-        disp_vis = np.repeat(np.nan_to_num(dl)[..., None], 3, axis=-1)
-        return np.concatenate([cl, disp_vis], axis=0)
     raise ValueError(f"unknown format {fmt}")
 
 

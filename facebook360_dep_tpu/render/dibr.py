@@ -118,6 +118,85 @@ def _fill_holes(zbuf2d: jnp.ndarray, iterations: int = 2) -> jnp.ndarray:
     return out
 
 
+# --- Omni-directional-stereo (ODS) IPD warp --------------------------------
+#
+# The reference renders stereo by warping mono geometry per vertex so each
+# viewing ray originates on a pupil circle in the equatorial plane whose
+# diameter fades with latitude (RigScene.cpp:86-131; the same shader block in
+# CanopyScene.cpp:77-133 drives the offline tbstereo/lr180 exports, fed
+# halfIpdM = +-0.032 by SimpleMeshRenderer.cpp:407-427 — note the uniform
+# carries HALF the average human IPD there; we mirror that convention).
+# ``ipd_m`` below is that uniform: positive = left eye, negative = right.
+
+_IPD_FALLOFF_SHARPNESS = 25.0  # kA (RigScene.cpp:89)
+_IPD_FALLOFF_ONSET = 0.17  # kB: rolloff begins ~60 deg from the equator
+
+
+def ods_ipd(lat, ipd_m):
+    """Latitude-dependent pupil-circle diameter: ``ipd_m`` on an equatorial
+    band, double-exponential (Gumbel-like) rolloff to 0 at both poles
+    (RigScene.cpp:88-95). ``lat`` in radians, +pi/2 = +z pole."""
+    a, b = _IPD_FALLOFF_SHARPNESS, _IPD_FALLOFF_ONSET
+    t = lat / jnp.pi
+    return ipd_m * jnp.exp(-jnp.exp(a * (b - 0.5 - t)) - jnp.exp(a * (b - 0.5 + t)))
+
+
+def ods_eye_offset(points, ipd_m):
+    """Per-point ODS pupil position (viewer-centered coords, z up).
+
+    For a point p, the eye lies on the circle of radius ipd(lat)/2 in the
+    z=0 plane such that the view ray e->p is tangent to the circle:
+    |p.xy|^2 = |e|^2 + d^2 with d the in-plane ray length and
+    lat = atan(p.z / d). Solved like the reference (RigScene.cpp:97-131):
+    initial estimate from lat ~ atan(z / |p.xy|), two Newton iterations on
+    the tangency residual, then the 2x2 linear solve for e — here in the
+    multiplied-through form e = s*(s*p.x - d*p.y, d*p.x + s*p.y)/(s^2+d^2)
+    (s = signed ipd/2), which is exact and pole-stable (s -> 0 => e -> 0)
+    where the reference's mat2 inverse would divide by zero.
+    Returns (..., 3) eye positions with z = 0.
+    """
+    p = jnp.asarray(points, jnp.float32)
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    rxy2 = x * x + y * y
+
+    def half_ipd(d):
+        return 0.5 * ods_ipd(jnp.arctan2(z, d), ipd_m)
+
+    def residual(d):
+        e = half_ipd(d)
+        return rxy2 - e * e - d * d
+
+    e0 = half_ipd(jnp.sqrt(rxy2))
+    d = jnp.sqrt(jnp.maximum(rxy2 - e0 * e0, 1e-12))
+    for _ in range(2):  # the reference's iteration count (RigScene.cpp:113)
+        step = 1e-3 * d + 1e-12
+        slope = (residual(d + step) - residual(d)) / step
+        # residual' ~ -2d for slowly-varying ipd; never divide by ~0
+        slope = jnp.where(jnp.abs(slope) > 1e-12, slope, -2.0 * jnp.maximum(d, 1e-6))
+        d = jnp.maximum(d - residual(d) / slope, 0.0)
+
+    s = half_ipd(d)
+    denom = jnp.maximum(s * s + d * d, 1e-20)
+    ex = s * (s * x - d * y) / denom
+    ey = s * (d * x + s * y) / denom
+    return jnp.stack([ex, ey, jnp.zeros_like(ex)], axis=-1)
+
+
+def ods_warp(points, ipd_m):
+    """Mono -> stereo geometry: p' = p - eye(p) (cameraVS, RigScene.cpp:152-155)."""
+    return points - ods_eye_offset(points, ipd_m)
+
+
+def ods_unwarp(warped, ipd_m, iterations: int = 2):
+    """Inverse of :func:`ods_warp` by fixed point: p = p' + eye(p). The eye
+    offset is <= ipd/2 (~3 cm) and varies slowly, so two iterations recover
+    p to sub-micron error at scene scale."""
+    p = warped
+    for _ in range(iterations):
+        p = warped + ods_eye_offset(p, ipd_m)
+    return p
+
+
 def exp_alpha(cone):
     """RigScene's exponential accumulation weight ``a' = exp(30 a) - 1``
     (exponentialFS, RigScene.cpp:281-292; applied per subframe by
@@ -148,7 +227,7 @@ def accumulate_resolve(colors, cones, fade=1.0):
     return rgb, acc_a
 
 
-@partial(jax.jit, static_argnames=("face_size", "mode", "width", "height"))
+@partial(jax.jit, static_argnames=("face_size", "mode", "width", "height", "ipd"))
 def render_view(
     rig_cams: cam.Camera,  # stacked (N,), normalized
     colors: jnp.ndarray,  # (N, H, W, 3)
@@ -158,11 +237,17 @@ def render_view(
     mode: str = "cube",
     width: int = 0,
     height: int = 0,
+    ipd: float = 0.0,
 ):
     """Render (color, disparity, alpha) of the scene seen from ``center``.
 
     mode="cube": returns (6, S, S, ...) faces; mode="equirect": (H, W, ...).
-    """
+    Nonzero ``ipd`` renders one ODS stereo eye (positive = left, negative =
+    right; value = the reference's half-IPD uniform, see ods_eye_offset):
+    geometry is warped by :func:`ods_warp` before the splat (the vertex-
+    shader side, RigScene.cpp:152-155) and camera correspondence/occlusion
+    run on the unwarped mono points (the reference samples the unmodified
+    texVar for the warped vertex)."""
     n, h, w = colors.shape[:3]
     grid = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
     center = jnp.asarray(center, jnp.float32)
@@ -194,6 +279,8 @@ def render_view(
         depth = 1.0 / jnp.maximum(disp, 1e-12)
         world = cam.rig_point(c, grid, depth)
         v = world - center
+        if ipd:
+            v = ods_warp(v, ipd)
         dist = jnp.linalg.norm(v, axis=-1)
         valid = jnp.isfinite(dist) & (disp > 0)
         idx, ok = project_out(v)
@@ -206,6 +293,10 @@ def render_view(
 
     # --- stage 2: inverse gather colors ------------------------------------
     world = center + target_dirs.reshape(out_hw + (3,)) * zbuf[..., None]
+    if ipd:
+        # the z-buffer lives in warped (stereo) space; cameras see the mono
+        # scene, so invert the warp before correspondence/occlusion
+        world = center + ods_unwarp(world - center, ipd)
     alpha_valid = jnp.isfinite(zbuf)
 
     def one_cam_gather(carry, inputs):
@@ -265,7 +356,8 @@ def render_cubemap(rig: cam.Rig, colors, disparities, center, face_size: int):
     return np.asarray(color), np.asarray(disp), np.asarray(alpha)
 
 
-def render_equirect(rig: cam.Rig, colors, disparities, center, width: int, height: int):
+def render_equirect(rig: cam.Rig, colors, disparities, center, width: int, height: int,
+                    ipd: float = 0.0):
     nrig = cam.normalize_rig(rig) if not cam.is_normalized(rig.camera(0)) else rig
     cams = jax.tree.map(
         lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else jnp.asarray(a),
@@ -279,5 +371,6 @@ def render_equirect(rig: cam.Rig, colors, disparities, center, width: int, heigh
         mode="equirect",
         width=width,
         height=height,
+        ipd=float(ipd),
     )
     return np.asarray(color), np.asarray(disp), np.asarray(alpha)

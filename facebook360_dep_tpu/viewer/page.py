@@ -21,7 +21,9 @@ Implements the reference RigScene pipeline in the browser
   squared — render() :1087-1095).
 
 Controls: drag = look, WASD/QE = move, scroll = dolly, [/] = frame step,
-space = play. No external assets (zero-egress friendly).
+space = play, 3 = side-by-side ODS stereo (the per-vertex IPD warp of
+``RigScene.cpp:86-131``, kIPD = +-halfIpdM per eye). No external assets
+(zero-egress friendly).
 """
 
 HTML = r"""<!doctype html>
@@ -59,9 +61,42 @@ function lookDir(eye,yaw,pitch){
 }
 
 // --- shaders (RigScene.cpp equivalents) ------------------------------------
+// ODS stereo warp (cameraVS, RigScene.cpp:86-131): each view ray leaves a
+// pupil circle of diameter ipd(lat) in the rig's equatorial plane (rig z
+// up), rolling off to zero at the poles; kIPD > 0 = left eye, 0 = mono.
+// Same math as render/dibr.py ods_eye_offset — Newton on the tangency
+// residual, then the multiplied-through pole-stable 2x2 solve.
 const meshVS=`#version 300 es
-uniform mat4 transform; in vec3 pos; in vec2 uv; out vec2 texVar;
-void main(){ texVar = uv; gl_Position = transform * vec4(pos, 1.0); }`;
+uniform mat4 transform; uniform float kIPD;
+in vec3 pos; in vec2 uv; out vec2 texVar;
+float ipdLat(float lat){
+  const float a = 25.0, b = 0.17, pi = 3.141592653589793;
+  float t = lat / pi;
+  return kIPD * exp(-exp(a*(b-0.5-t)) - exp(a*(b-0.5+t)));
+}
+vec3 odsEye(vec3 p){
+  float rxy2 = dot(p.xy, p.xy);
+  float e0 = 0.5 * ipdLat(atan(p.z, sqrt(rxy2)));
+  float d = sqrt(max(rxy2 - e0*e0, 1e-12));
+  for (int i = 0; i < 2; ++i){
+    float h = 1e-3*d + 1e-12;
+    float ea = 0.5*ipdLat(atan(p.z, d));
+    float r0 = rxy2 - ea*ea - d*d;
+    float eb = 0.5*ipdLat(atan(p.z, d+h));
+    float r1 = rxy2 - eb*eb - (d+h)*(d+h);
+    float de = (r1 - r0) / h;
+    d = max(d - r0 / (abs(de) > 1e-12 ? de : -2.0*max(d, 1e-6)), 0.0);
+  }
+  float s = 0.5 * ipdLat(atan(p.z, d));
+  float inv = 1.0 / max(s*s + d*d, 1e-20);
+  return vec3(s*(s*p.x - d*p.y)*inv, s*(d*p.x + s*p.y)*inv, 0.0);
+}
+void main(){
+  texVar = uv;
+  vec3 rig = pos;
+  if (kIPD != 0.0) rig -= odsEye(rig);  // adjust rig when rendering stereo
+  gl_Position = transform * vec4(rig, 1.0);
+}`;
 // cameraFS: raw color + cone alpha into the subframe (RigScene.cpp:244-259)
 const meshFS=`#version 300 es
 precision highp float; uniform sampler2D tex; in vec2 texVar; out vec4 color;
@@ -100,6 +135,9 @@ function program(vs,fs,attrs){const p=gl.createProgram();gl.attachShader(p,shade
 // --- state -----------------------------------------------------------------
 let scene=null, meshes={}, textures={}, frames=[], frameIdx=0, playing=false;
 let eye=[0,0,0], yaw=0.0, pitch=0.0, rigCenter=[0,0,0];
+// side-by-side ODS stereo; 0.032 = the reference's halfIpdM uniform value
+// (SimpleMeshRenderer.cpp:409, RiftViewer feeds the same shader per eye)
+let stereo=false; const halfIpdM=0.032;
 const progMesh = gl && program(meshVS, meshFS, ["pos","uv"]);
 const progUpdate = gl && program(quadVS, updateFS, ["tex"]);
 const progQuad = gl && program(quadVS, quadFS, ["tex"]);
@@ -107,7 +145,7 @@ let accumFBO=null, accumTex=null, subFBO=null, subTex=null, subDepth=null, fbw=0
 const quadBuf = gl && gl.createBuffer();
 if (gl){gl.bindBuffer(gl.ARRAY_BUFFER, quadBuf);
   gl.bufferData(gl.ARRAY_BUFFER, new Float32Array([0,0,1,0,0,1,1,1]), gl.STATIC_DRAW);}
-window.viewerState = {ready:false, drawn:0, culled:0, frames:0, floatOK, fade:1};
+window.viewerState = {ready:false, drawn:0, culled:0, frames:0, floatOK, fade:1, stereo:false};
 
 function makeTex(w,h,fmt){
   const t = gl.createTexture();
@@ -202,18 +240,10 @@ function fullscreenPass(prog, tex){
   gl.drawArrays(gl.TRIANGLE_STRIP, 0, 4);
 }
 
-async function draw(){
-  if (!scene) return;
-  const frame = frames[frameIdx];
-  const w = canvas.clientWidth, h = canvas.clientHeight;
-  canvas.width = w; canvas.height = h;
-  setupFBOs(w, h);
-  const look = lookDir(eye, yaw, pitch);
-  const vp = mul(persp(1.2, w/h, 0.05, 2000.0), look.m);
-
+function renderEye(frame, vp, kIPD, vx, vw, vh){
   // clearAccumulation (RigScene.cpp:977-1003)
   gl.bindFramebuffer(gl.FRAMEBUFFER, accumFBO);
-  gl.viewport(0,0,w,h);
+  gl.viewport(0,0,fbw,fbh);
   gl.clearColor(0,0,0,0); gl.clear(gl.COLOR_BUFFER_BIT);
 
   let drawn = 0, culledN = 0;
@@ -225,13 +255,14 @@ async function draw(){
     // renderSubframe: depth-tested draw of the camera mesh (+ background
     // layer mesh after it) into the private subframe FBO
     gl.bindFramebuffer(gl.FRAMEBUFFER, subFBO);
-    gl.viewport(0,0,w,h);
+    gl.viewport(0,0,fbw,fbh);
     gl.clearColor(0,0,0,0); gl.clearDepth(1.0);
     gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
     gl.enable(gl.DEPTH_TEST);
     gl.disable(gl.BLEND);
     gl.useProgram(progMesh);
     gl.uniformMatrix4fv(gl.getUniformLocation(progMesh,"transform"), false, vp);
+    gl.uniform1f(gl.getUniformLocation(progMesh,"kIPD"), kIPD);
     gl.activeTexture(gl.TEXTURE0);
     gl.bindTexture(gl.TEXTURE_2D, tex);
     gl.uniform1i(gl.getUniformLocation(progMesh,"tex"), 0);
@@ -254,20 +285,43 @@ async function draw(){
     drawn++;
   }
 
-  // resolveAccumulation with the displacement fade
+  // resolveAccumulation with the displacement fade, into this eye's viewport
   const fade = resolveFade();
   gl.bindFramebuffer(gl.FRAMEBUFFER, null);
-  gl.viewport(0,0,w,h);
+  gl.viewport(vx,0,vw,vh);
   gl.useProgram(progQuad);
   gl.uniform1f(gl.getUniformLocation(progQuad,"fade"), fade);
   fullscreenPass(progQuad, accumTex);
+  return {drawn, culledN, fade};
+}
 
-  window.viewerState.drawn = drawn;
-  window.viewerState.culled = culledN;
-  window.viewerState.fade = fade;
-  hud.textContent = `frame ${frame}  (${frameIdx+1}/${frames.length})  cameras ${drawn}/${scene.cameras.length} (culled ${culledN})  fade ${fade.toFixed(2)}`
+async function draw(){
+  if (!scene) return;
+  const frame = frames[frameIdx];
+  const w = canvas.clientWidth, h = canvas.clientHeight;
+  canvas.width = w; canvas.height = h;
+  const wEye = stereo ? (w >> 1) : w;
+  setupFBOs(wEye, h);
+  const look = lookDir(eye, yaw, pitch);
+  const vp = mul(persp(1.2, wEye/h, 0.05, 2000.0), look.m);
+
+  let stats;
+  if (stereo){
+    // side-by-side ODS: left eye kIPD > 0, right eye negated
+    // (RigScene.cpp cameraVS kIPD comment; SimpleMeshRenderer.cpp:409-414)
+    stats = renderEye(frame, vp, +halfIpdM, 0, wEye, h);
+    renderEye(frame, vp, -halfIpdM, wEye, w - wEye, h);
+  } else {
+    stats = renderEye(frame, vp, 0.0, 0, w, h);
+  }
+
+  window.viewerState.drawn = stats.drawn;
+  window.viewerState.culled = stats.culledN;
+  window.viewerState.fade = stats.fade;
+  window.viewerState.stereo = stereo;
+  hud.textContent = `frame ${frame}  (${frameIdx+1}/${frames.length})  cameras ${stats.drawn}/${scene.cameras.length} (culled ${stats.culledN})  fade ${stats.fade.toFixed(2)}${stereo?"  [stereo]":""}`
     + `\neye ${eye.map(v=>v.toFixed(2))}  yaw ${yaw.toFixed(2)} pitch ${pitch.toFixed(2)}`
-    + `\n[drag] look  [WASD/QE] move  [wheel] dolly  [[/]] frame  [space] play`;
+    + `\n[drag] look  [WASD/QE] move  [wheel] dolly  [[/]] frame  [space] play  [3] stereo`;
 }
 
 async function ensureFrame(i){
@@ -329,6 +383,7 @@ window.addEventListener("keydown", async e=>{
   if(e.key==="q")eye[1]-=s;
   if(e.key==="e")eye[1]+=s;
   if(e.key===" "){playing=!playing; e.preventDefault();}
+  if(e.key==="3"){stereo=!stereo;}
   if(e.key==="]"){frameIdx=(frameIdx+1)%frames.length; await ensureFrame(frameIdx);}
   if(e.key==="["){frameIdx=(frameIdx-1+frames.length)%frames.length; await ensureFrame(frameIdx);}
 });

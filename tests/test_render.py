@@ -80,6 +80,81 @@ def test_dibr_equirect_runs(scene):
     np.testing.assert_allclose(np.nanmedian(d[valid]), 1.0 / 5.0, rtol=0.15)
 
 
+def test_ods_eye_offset_tangency_invariants():
+    """The ODS pupil solve (RigScene.cpp:86-131 re-derivation): for every
+    point p the returned eye e must satisfy |e| = ipd(lat)/2, the view ray
+    (p - e) tangent to the pupil circle (e . (p.xy - e) = 0), and the
+    Pythagorean split |p.xy|^2 = |e|^2 + d^2."""
+    rng = np.random.default_rng(3)
+    ipd_m = 0.032
+    p = rng.uniform(-5, 5, (256, 3)).astype(np.float32)
+    p = p[np.linalg.norm(p[:, :2], axis=1) > 0.2]  # outside the pupil circle
+    e = np.asarray(dibr.ods_eye_offset(p, ipd_m))
+    assert (e[:, 2] == 0).all()
+    ray_xy = p[:, :2] - e[:, :2]
+    d = np.linalg.norm(ray_xy, axis=1)
+    lat = np.arctan2(p[:, 2], d)
+    expect_radius = 0.5 * np.asarray(dibr.ods_ipd(lat, ipd_m))
+    np.testing.assert_allclose(np.linalg.norm(e[:, :2], axis=1), expect_radius, atol=1e-5)
+    # tangency: the in-plane view ray is perpendicular to the pupil offset
+    dots = np.abs(np.sum(e[:, :2] * ray_xy, axis=1))
+    np.testing.assert_array_less(dots, 1e-4)
+    np.testing.assert_allclose(
+        np.sum(p[:, :2] ** 2, axis=1),
+        np.linalg.norm(e[:, :2], axis=1) ** 2 + d * d,
+        rtol=1e-4,
+    )
+    # the right eye is the OTHER tangent point: same pupil radius, same
+    # tangency, opposite handedness of (p x e) about z
+    e_r = np.asarray(dibr.ods_eye_offset(p, -ipd_m))
+    np.testing.assert_allclose(
+        np.linalg.norm(e_r[:, :2], axis=1), expect_radius, atol=1e-5
+    )
+    cross_l = p[:, 0] * e[:, 1] - p[:, 1] * e[:, 0]
+    cross_r = p[:, 0] * e_r[:, 1] - p[:, 1] * e_r[:, 0]
+    assert (cross_l * cross_r < 0).all()
+    assert np.abs(np.asarray(dibr.ods_eye_offset(p, 0.0))).max() == 0.0
+    # poles: ipd fades to zero
+    poles = np.asarray([[1e-3, 0, 5.0], [0, 1e-3, -5.0]], np.float32)
+    assert np.abs(np.asarray(dibr.ods_eye_offset(poles, ipd_m))).max() < 1e-6
+
+
+def test_ods_warp_equator_parallax_and_inverse():
+    """On the equator the warp rotates azimuth by -atan(|e|/d) per eye, so the
+    left/right views of a point at range R differ by 2*atan(s/sqrt(R^2-s^2))
+    — the stereo baseline the viewer shows. ods_unwarp must invert the warp."""
+    ipd_m = 0.032
+    s = 0.016  # |e| at the equator (~falloff 1)
+    R = 0.5
+    theta = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+    p = np.stack([R * np.cos(theta), R * np.sin(theta), np.zeros_like(theta)], -1)
+    wl = np.asarray(dibr.ods_warp(p, +ipd_m))
+    wr = np.asarray(dibr.ods_warp(p, -ipd_m))
+    az = lambda v: np.arctan2(v[:, 1], v[:, 0])  # noqa: E731
+    dphi = (az(wl) - az(wr) + np.pi) % (2 * np.pi) - np.pi
+    expect = 2 * np.arctan(s / np.sqrt(R * R - s * s))
+    np.testing.assert_allclose(np.abs(dphi), expect, rtol=2e-3)
+    # both eyes see the point at in-plane range d = sqrt(R^2 - s^2)
+    np.testing.assert_allclose(
+        np.linalg.norm(wl[:, :2], axis=1), np.sqrt(R * R - s * s), rtol=1e-4
+    )
+    # fixed-point inverse recovers the mono geometry
+    back = np.asarray(dibr.ods_unwarp(wl, +ipd_m))
+    np.testing.assert_allclose(back, p, atol=1e-6)
+
+
+def test_render_equirect_stereo_pair(scene):
+    rig, colors, gt = scene
+    cl, _, al = dibr.render_equirect(rig, colors, gt, [0.0, 0.0, 0.0], 64, 32, ipd=+0.016)
+    cr, _, ar = dibr.render_equirect(rig, colors, gt, [0.0, 0.0, 0.0], 64, 32, ipd=-0.016)
+    cm, _, _ = dibr.render_equirect(rig, colors, gt, [0.0, 0.0, 0.0], 64, 32)
+    assert cl.shape == cr.shape == cm.shape
+    assert np.asarray(al).mean() > 0.2 and np.asarray(ar).mean() > 0.2
+    # the eyes must actually differ (parallax), mono must sit between them
+    assert np.abs(cl - cr).max() > 1e-4
+    assert np.abs(cl - cm).max() > 0 and np.abs(cr - cm).max() > 0
+
+
 def test_foreground_mask():
     bg = np.full((32, 32, 3), 0.5, np.float32)
     frame = bg.copy()
