@@ -247,10 +247,26 @@ def ping_pong(ctx: LevelContext, cfg: SolverConfig, disparity, costs, confidence
 
         def iteration(state, _):
             disp, cost, conf = state
-            best_cost = jnp.full_like(cost, jnp.inf)
+            # The center candidate (offset (0, 0)) re-evaluates the pixel's
+            # own current disparity — whose cost the carry already holds
+            # (computed by random_proposals / the previous iteration), so
+            # seed the running best from it instead of spending a 9th full
+            # cost eval. The reference likewise starts from the stored
+            # disparity/confidence and only re-computes candidates flagged
+            # `changed` (Derp.cpp:439-470). Only when no proposals ran is
+            # the carried cost a placeholder (inf) and the center must be
+            # evaluated like any other candidate.
+            seed_center = cfg.num_random_proposals > 0
+            if seed_center:
+                center_ok = fov & (disp >= bg_floor) & jnp.isfinite(disp)
+                best_cost = jnp.where(center_ok, cost, jnp.inf)
+                offsets = PING_PONG_OFFSETS[1:]
+            else:
+                best_cost = jnp.full_like(cost, jnp.inf)
+                offsets = PING_PONG_OFFSETS
             best_disp = disp
             best_conf = conf
-            for dy, dx in PING_PONG_OFFSETS:
+            for dy, dx in offsets:
                 cand = filters._shift(disp, dy, dx)
                 cand_fov = filters._shift(fov, dy, dx)
                 ok = cand_fov & (cand >= bg_floor) & jnp.isfinite(cand)
