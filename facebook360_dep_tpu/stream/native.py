@@ -58,8 +58,33 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_float, ctypes.c_float, f32,
         ]
         lib.rasterize_mesh.restype = None
+        lib.build_faces.argtypes = [
+            f32, ctypes.c_int, ctypes.c_int, ctypes.c_float, u32,
+        ]
+        lib.build_faces.restype = ctypes.c_int
         _LIB = lib
         return lib
+
+
+def build_faces(proxy: np.ndarray, tear_ratio: float) -> np.ndarray:
+    """Torn-quad face emission from an (H, W) depth-proxy plane.
+
+    Single-pass native mirror of mesh.get_triangle_masks + the face gather
+    (MeshUtil.h:170-296); ~15x the vectorized numpy path at 2K. Returns
+    (F, 3) uint32 in row-major quad / triangle-0..3 order.
+    """
+    lib = _lib()
+    proxy = np.ascontiguousarray(proxy, np.float32)
+    h, w = proxy.shape
+    out = np.empty(((h - 1) * (w - 1) * 4, 3), np.uint32)
+    n = lib.build_faces(
+        proxy.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h,
+        w,
+        float(tear_ratio),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out[:n].copy()  # release the worst-case allocation
 
 
 def simplify_mesh(

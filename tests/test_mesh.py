@@ -38,6 +38,45 @@ def test_faces_tear_on_discontinuity():
     assert 3 not in faces  # br vertex not referenced
 
 
+def test_native_build_faces_matches_numpy_oracle():
+    """The single-pass native emitter (_native/mesh_faces.cpp) must produce
+    byte-identical faces to the vectorized get_triangle_masks path over
+    random depths, ties, NaNs, zeros, and negatives."""
+    from facebook360_dep_tpu.stream import native
+
+    rng = np.random.default_rng(11)
+    h, w = 23, 37
+    for trial in range(6):
+        proxy = rng.uniform(0.5, 3.0, (h, w)).astype(np.float32)
+        if trial >= 1:  # quantize hard to force ties
+            proxy = np.round(proxy * 4) / 4
+        if trial >= 2:
+            proxy[rng.uniform(size=(h, w)) < 0.05] = np.nan
+        if trial >= 3:
+            proxy[rng.uniform(size=(h, w)) < 0.05] = 0.0
+        if trial >= 4:
+            proxy[rng.uniform(size=(h, w)) < 0.05] *= -1
+        tear = [0.95, 0.5, 0.0][trial % 3]
+
+        got = native.build_faces(proxy, tear)
+
+        tl, tr = proxy[:-1, :-1], proxy[:-1, 1:]
+        bl, br = proxy[1:, :-1], proxy[1:, 1:]
+        corners = np.stack([tl, tr, bl, br], axis=-1).reshape(-1, 4)
+        masks = mesh.get_triangle_masks(corners, tear)
+        base = (
+            np.arange(h - 1, dtype=np.uint32)[:, None] * np.uint32(w)
+            + np.arange(w - 1, dtype=np.uint32)
+        ).reshape(-1)
+        offsets = {"tl": 0, "tr": 1, "bl": w, "br": w + 1}
+        pat = np.asarray(
+            [[offsets[p] for p in mesh._TRIANGLES[t]] for t in range(4)], np.uint32
+        )
+        emit = np.flatnonzero(masks.reshape(-1))
+        expect = base[emit >> 2][:, None] + pat[emit & 3]
+        np.testing.assert_array_equal(got, expect, err_msg=f"trial {trial}")
+
+
 def test_apply_mask():
     h, w = 3, 3
     v = np.random.RandomState(0).rand(9, 3) + 1.0
