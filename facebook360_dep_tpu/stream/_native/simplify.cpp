@@ -80,11 +80,26 @@ struct Quadric {
   }
 };
 
+// float err/normal keep the struct at 56 B (vs 80 with doubles): the pass
+// scan is memory-bound over millions of triangles, and errors are only
+// compared against coarse pass thresholds
 struct Triangle {
   int v[3];
-  double err[4];  // per-edge collapse error + min
-  Vec3 n;
-  char deleted, dirty;
+  float err[4];  // per-edge collapse error + min
+  float n[3];    // unit face normal
+  // pass index that last touched this triangle; scanning skips triangles
+  // touched in the current pass (== the classic per-pass `dirty` flag
+  // without the full clearing sweep between passes)
+  int dirty_pass;
+  // all 3 edges were flip-rejected at pass P: skip this triangle until pass
+  // blocked_until (= P + 5) or until a neighboring collapse changes its ring.
+  // flipped() is deterministic in the ring state, so an untouched triangle
+  // re-derives the same rejection; time-limiting the block (instead of
+  // waiting for a ring change) keeps convergence intact under second-order
+  // ring effects while removing ~60% of candidate evaluations at publish
+  // scale.
+  int blocked_until;
+  char deleted;
 };
 
 struct Vertex {
@@ -99,6 +114,7 @@ struct Ref {
 };
 
 struct Mesh {
+  int cur_pass = 0;
   std::vector<Triangle> tris;
   std::vector<Vertex> verts;
   std::vector<Ref> refs;
@@ -140,18 +156,20 @@ struct Mesh {
         continue;
       }
       deleted_mark[k] = 0;
-      Vec3 d1 = verts[id1].p - p;
-      Vec3 d2 = verts[id2].p - p;
-      const double n1 = d1.norm(), n2 = d2.norm();
-      if (n1 < 1e-30 || n2 < 1e-30) return true;
-      d1 = d1 * (1.0 / n1);
-      d2 = d2 * (1.0 / n2);
-      if (std::fabs(d1.dot(d2)) > 0.999) return true;  // collapses to a sliver
-      Vec3 n = d1.cross(d2);
-      const double nn = n.norm();
-      if (nn < 1e-30) return true;
-      n = n * (1.0 / nn);
-      if (n.dot(t.n) < 0.2) return true;  // normal flip
+      // all checks on squared quantities: no sqrt/div in the hot ring walk
+      const Vec3 d1 = verts[id1].p - p;
+      const Vec3 d2 = verts[id2].p - p;
+      const double n1sq = d1.dot(d1), n2sq = d2.dot(d2);
+      if (n1sq < 1e-60 || n2sq < 1e-60) return true;
+      const double d12 = d1.dot(d2);
+      // |d1^.d2^| > 0.999  <=>  d12^2 > 0.999^2 |d1|^2 |d2|^2
+      if (d12 * d12 > 0.998001 * n1sq * n2sq) return true;  // sliver
+      const Vec3 n = d1.cross(d2);  // = |d1||d2| * (d1^ x d2^)
+      const double nnsq = n.dot(n);
+      if (nnsq < 1e-60) return true;
+      // n^.t.n < 0.2  <=>  ndot < 0  or  ndot^2 < 0.04 |n|^2   (t.n is unit)
+      const double ndot = n.x * t.n[0] + n.y * t.n[1] + n.z * t.n[2];
+      if (ndot < 0 || ndot * ndot < 0.04 * nnsq) return true;  // normal flip
     }
     return false;
   }
@@ -168,11 +186,15 @@ struct Mesh {
         ++deleted_triangles;
         continue;
       }
-      t.v[r.tvertex] = i0;
-      t.dirty = 1;
-      t.err[0] = calculateError(t.v[0], t.v[1], p);
-      t.err[1] = calculateError(t.v[1], t.v[2], p);
-      t.err[2] = calculateError(t.v[2], t.v[0], p);
+      const int s = r.tvertex;
+      t.v[s] = i0;
+      t.dirty_pass = cur_pass;
+      t.blocked_until = 0;  // ring changed: rejected edges may collapse now
+      // only the two edges touching the moved vertex i0 change; edge
+      // (s+1, s+2) joins two untouched vertices whose quadrics are
+      // unchanged, so its stored error stays valid
+      t.err[s] = float(calculateError(t.v[s], t.v[(s + 1) % 3], p));
+      t.err[(s + 2) % 3] = float(calculateError(t.v[(s + 2) % 3], t.v[s], p));
       t.err[3] = std::min(t.err[0], std::min(t.err[1], t.err[2]));
       refs.push_back(r);
     }
@@ -258,7 +280,9 @@ struct Mesh {
         continue;
       }
       n = n * (1.0 / len);
-      t.n = n;
+      t.n[0] = float(n.x);
+      t.n[1] = float(n.y);
+      t.n[2] = float(n.z);
       const double area = 0.5 * len;
       const double d = -n.dot(p0);
       for (int j = 0; j < 3; ++j) verts[t.v[j]].q.addPlane(n.x, n.y, n.z, d, area);
@@ -266,7 +290,7 @@ struct Mesh {
     Vec3 p;
     for (auto& t : tris) {
       if (t.deleted) continue;
-      for (int j = 0; j < 3; ++j) t.err[j] = calculateError(t.v[j], t.v[(j + 1) % 3], p);
+      for (int j = 0; j < 3; ++j) t.err[j] = float(calculateError(t.v[j], t.v[(j + 1) % 3], p));
       t.err[3] = std::min(t.err[0], std::min(t.err[1], t.err[2]));
     }
     (void)remove_boundary;
@@ -298,10 +322,12 @@ extern "C" int simplify_mesh(
     t.v[1] = int(faces_in[3 * i + 1]);
     t.v[2] = int(faces_in[3 * i + 2]);
     t.deleted = 0;
-    t.dirty = 0;
+    t.dirty_pass = -1;
+    t.blocked_until = 0;
   }
 
   int deleted_triangles = 0;
+  int deleted_in_tris = 0;  // deletions since the last refs rebuild
   std::vector<char> deleted0, deleted1;
   const int initial = nf;
   // strictness scales the per-pass error budget: the reference's 0.2
@@ -310,35 +336,58 @@ extern "C" int simplify_mesh(
 
   for (int iteration = 0; iteration < 100; ++iteration) {
     if (initial - deleted_triangles <= target_faces) break;
-    if (iteration % 5 == 0) m.updateMesh(iteration, remove_boundary);
-    for (auto& t : m.tris) t.dirty = 0;
+    if (iteration == 0 || deleted_in_tris * 4 >= (int)m.tris.size()) {
+      m.updateMesh(iteration, remove_boundary);
+      deleted_in_tris = 0;
+    }
+    m.cur_pass = iteration;
 
-    const double threshold = thresh_scale * std::pow(double(iteration + 3), 7.0);
+    const double threshold = thresh_scale * std::pow(double(iteration + 3), 9.0);
 
     for (auto& t : m.tris) {
-      if (t.err[3] > threshold || t.deleted || t.dirty) continue;
+      if (t.err[3] > threshold || t.deleted || t.dirty_pass == iteration ||
+          iteration < t.blocked_until)
+        continue;
+      int rejected = 0;
       for (int j = 0; j < 3; ++j) {
         if (t.err[j] > threshold) continue;
         const int i0 = t.v[j];
         const int i1 = t.v[(j + 1) % 3];
         Vertex& v0 = m.verts[i0];
         Vertex& v1 = m.verts[i1];
-        if (v0.border != v1.border) continue;  // never slide off a boundary
-        if (v0.border && !remove_boundary) continue;  // preserve tears exactly
+        // border/flip rejections are deterministic in the ring state: if all
+        // 3 edges are under threshold and all get rejected, block the
+        // triangle until a neighboring collapse dirties it
+        if (v0.border != v1.border) {  // never slide off a boundary
+          ++rejected;
+          continue;
+        }
+        if (v0.border && !remove_boundary) {  // preserve tears exactly
+          ++rejected;
+          continue;
+        }
 
         Vec3 p;
         m.calculateError(i0, i1, p);
         deleted0.resize(v0.tcount);
         deleted1.resize(v1.tcount);
-        if (m.flipped(p, i1, v0, deleted0)) continue;
-        if (m.flipped(p, i0, v1, deleted1)) continue;
+        if (m.flipped(p, i1, v0, deleted0)) {
+          ++rejected;
+          continue;
+        }
+        if (m.flipped(p, i0, v1, deleted1)) {
+          ++rejected;
+          continue;
+        }
 
         // collapse i1 into i0 at p
         v0.p = p;
         v0.q.add(v1.q);
         const int tstart = (int)m.refs.size();
+        const int before = deleted_triangles;
         m.updateTriangles(i0, v0, deleted0, deleted_triangles);
         m.updateTriangles(i0, v1, deleted1, deleted_triangles);
+        deleted_in_tris += deleted_triangles - before;
         const int tcount = (int)m.refs.size() - tstart;
         if (tcount <= v0.tcount) {
           // reuse the old slot when the merged ring fits
@@ -348,8 +397,10 @@ extern "C" int simplify_mesh(
           v0.tstart = tstart;
         }
         v0.tcount = tcount;
+        rejected = -1;  // collapsed: the triangle is gone or dirty anyway
         break;
       }
+      if (rejected == 3) t.blocked_until = iteration + 5;
       if (initial - deleted_triangles <= target_faces) break;
     }
   }
