@@ -110,13 +110,21 @@ def main():
             full_height=hw(WIDTHS[0]), **kw
         )
 
+    def _sync(out):
+        """Force completion with a tiny host readback: on the tunnelled
+        backend block_until_ready can return before execution finishes
+        (deferred dispatch), which silently under-measures."""
+        jax.block_until_ready(out)
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(jax.device_get(leaf[(slice(0, 1),) * leaf.ndim]))
+
     def timed(fn, warm_args, real_args):
         """Run fn(warm) to compile+warm (the tunnel memoizes identical
         executions), then time fn(real)."""
-        jax.block_until_ready(fn(*warm_args))
+        _sync(fn(*warm_args))
         t0 = time.perf_counter()
         out = fn(*real_args)
-        jax.block_until_ready(out)
+        _sync(out)
         return time.perf_counter() - t0, out
 
     resize = jax.jit(

@@ -327,173 +327,180 @@ def _atan2_nonneg(a, b):
 # dst tiles are (24, 128) so the stacked window is C*40 = 120 MXU rows — one
 # nearly-full 128-row pass (the old 16x128/32-row config wasted 25% of the
 # pass on padding; measured 88 vs 96 ms per 2K 16-src sampler launch).
-# ww=256 would cut another 10 ms but clips 0.09% of samples (magnification
-# <= 1.0 only) and any clipped source poisons the whole pixel — rejected.
+#
+# ww=256 (measured 70 vs 86 ms at 2K x 16 src: the x-contraction, the weight
+# build, and the window DMA all scale with ww) clips ~0.09% of samples when a
+# tile's source x-span exceeds 254 px — scattered random-proposal candidates
+# or magnification > ~2. Clipping is algorithmically SAFE: the pixel's cost
+# for that candidate becomes FLT_MAX (cost.cost_for_disparity's any_clip
+# guard), so the solver merely keeps its carried disparity there — it never
+# corrupts the combine (round-2's bug was dropping the source instead of
+# poisoning the candidate). The quality contract (bench RMSE/MSSIM, golden
+# tests) holds with 256 — see NOTES_ROUND4.
 V4_TILE_H = 24     # dst tile rows (tile width stays TILE_W = 128)
 V4_WINDOW_H = 40   # sublane axis: origin aligned to 8 -> y-magnification <= (40-8-2)/24
-V4_WINDOW_W = 384  # lane axis: origin aligned to 128 -> x-magnification <= (384-128-2)/128
+V4_WINDOW_W = 256  # lane axis: origin aligned to 128 -> x-magnification <= (256-128-2)/128
 
 
 def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precision=None,
-                            src_exact_bf16: bool = False):
+                            src_exact_bf16: bool = False, g: int = 1,
+                            ablate: str = ""):
     """hs/ws are the TRUE source dims; src_ref may carry (8, 128)-aligned
-    edge padding beyond them (small pyramid levels)."""
+    edge padding beyond them (small pyramid levels).
+
+    ``g`` sources are handled per grid step (multi-src batching): the
+    per-launch fixed costs — grid sequencing, disp/rays block loads, the
+    src-independent world-point math — amortize over g sources, and the
+    window DMA of source k overlaps the weight-build/matmul of source k-1.
+    """
     precision = MATMUL_PRECISION if precision is None else precision
     pi = float(np.pi)
 
     def _kernel(params_ref, dstpos_ref, disp_ref, rays_ref, src_ref,
                 out_ref, valid_ref, clip_ref, win_ref, sems):
-        n_idx = pl.program_id(0)
+        n0 = pl.program_id(0) * g
         hs_pad, ws_pad = src_ref.shape[2], src_ref.shape[3]
         th, tw = disp_ref.shape
         p = th * tw
 
-        def P(i):
-            return params_ref[n_idx, i]
-
-        # ---- projection math in packed (TH, TW) tile shape ----
+        # ---- src-independent: dst world points (TH, TW), computed once ----
         disp = disp_ref[...]
         depth = 1.0 / jnp.maximum(disp, 1e-12)
         wx_ = dstpos_ref[0, 0] + rays_ref[0] * depth
         wy_ = dstpos_ref[0, 1] + rays_ref[1] * depth
         wz_ = dstpos_ref[0, 2] + rays_ref[2] * depth
 
-        ox_, oy_, oz_ = wx_ - P(PARAM_POS), wy_ - P(PARAM_POS + 1), wz_ - P(PARAM_POS + 2)
-        r = PARAM_ROT
-        vx = P(r + 0) * ox_ + P(r + 1) * oy_ + P(r + 2) * oz_
-        vy = P(r + 3) * ox_ + P(r + 4) * oy_ + P(r + 5) * oz_
-        vz = P(r + 6) * ox_ + P(r + 7) * oy_ + P(r + 8) * oz_
+        def project(n_idx):
+            """Project the tile's world points into source n_idx."""
 
-        xy_sq = vx * vx + vy * vy
-        xy_norm = jnp.sqrt(xy_sq)
-        full_sq = xy_sq + vz * vz
-        full_norm = jnp.sqrt(full_sq)
-        tiny = jnp.float32(1.1754944e-38)
-        xy_safe = jnp.maximum(xy_norm, tiny)
-        full_safe = jnp.maximum(full_norm, tiny)
+            def P(i):
+                return params_ref[n_idx, i]
 
-        tc = P(PARAM_TYPE)
-        r_ftheta = _atan2_nonneg(xy_norm, -vz)
-        tan_half_pi = jnp.tan(jnp.float32(pi / 2))
-        r_rect = jnp.where(-vz > 0, xy_norm / jnp.where(-vz > 0, -vz, 1.0), tan_half_pi)
-        r_equi = 2.0 * jnp.sqrt(jnp.maximum((1.0 + vz / full_safe) / 2.0, 0.0))
-        rr = jnp.where(tc == 0.0, r_ftheta, jnp.where(tc == 1.0, r_rect, r_equi))
+            ox_, oy_, oz_ = wx_ - P(PARAM_POS), wy_ - P(PARAM_POS + 1), wz_ - P(PARAM_POS + 2)
+            r = PARAM_ROT
+            vx = P(r + 0) * ox_ + P(r + 1) * oy_ + P(r + 2) * oz_
+            vy = P(r + 3) * ox_ + P(r + 4) * oy_ + P(r + 5) * oz_
+            vz = P(r + 6) * ox_ + P(r + 7) * oy_ + P(r + 8) * oz_
 
-        d0, d1, d2 = P(PARAM_DIST), P(PARAM_DIST + 1), P(PARAM_DIST + 2)
-        rc = jnp.minimum(rr, P(PARAM_DIST_MAX))
-        s2 = rc * rc
-        dist_std = (1.0 + s2 * (d0 + s2 * (d1 + s2 * d2))) * rc
-        sx_std = dist_std / xy_safe * vx
-        sy_std = dist_std / xy_safe * vy
-        pre_den = jnp.where(vz < 0, full_safe, xy_safe)
-        px_ = vx / pre_den
-        py_ = vy / pre_den
-        pre_sq = px_ * px_ + py_ * py_
-        f_ortho = 1.0 + pre_sq * (d0 + pre_sq * (d1 + pre_sq * d2))
-        sx = jnp.where(tc == 3.0, f_ortho * px_, sx_std)
-        sy = jnp.where(tc == 3.0, f_ortho * py_, sy_std)
+            xy_sq = vx * vx + vy * vy
+            xy_norm = jnp.sqrt(xy_sq)
+            full_sq = xy_sq + vz * vz
+            full_norm = jnp.sqrt(full_sq)
+            tiny = jnp.float32(1.1754944e-38)
+            xy_safe = jnp.maximum(xy_norm, tiny)
+            full_safe = jnp.maximum(full_norm, tiny)
 
-        pix_x = P(PARAM_FOCAL) * sx + P(PARAM_PRINCIPAL)
-        pix_y = P(PARAM_FOCAL + 1) * sy + P(PARAM_PRINCIPAL + 1)
+            tc = P(PARAM_TYPE)
+            r_ftheta = _atan2_nonneg(xy_norm, -vz)
+            tan_half_pi = jnp.tan(jnp.float32(pi / 2))
+            r_rect = jnp.where(-vz > 0, xy_norm / jnp.where(-vz > 0, -vz, 1.0), tan_half_pi)
+            r_equi = 2.0 * jnp.sqrt(jnp.maximum((1.0 + vz / full_safe) / 2.0, 0.0))
+            rr = jnp.where(tc == 0.0, r_ftheta, jnp.where(tc == 1.0, r_rect, r_equi))
 
-        cf = P(PARAM_COS_FOV)
-        dot = -vz
-        outside_fov = dot * jnp.abs(dot) <= cf * jnp.abs(cf) * full_sq
-        outside_fov &= cf != -1.0
-        res_x, res_y = P(PARAM_RES), P(PARAM_RES + 1)
-        inside_sensor = (pix_x >= 0) & (pix_x < res_x) & (pix_y >= 0) & (pix_y < res_y)
-        xt = pix_x / res_x * ws - 0.5
-        yt = pix_y / res_y * hs - 0.5
-        finite = jnp.isfinite(xt) & jnp.isfinite(yt)
-        ok0 = finite & inside_sensor & ~outside_fov & (disp > 0)
+            d0, d1, d2 = P(PARAM_DIST), P(PARAM_DIST + 1), P(PARAM_DIST + 2)
+            rc = jnp.minimum(rr, P(PARAM_DIST_MAX))
+            s2 = rc * rc
+            dist_std = (1.0 + s2 * (d0 + s2 * (d1 + s2 * d2))) * rc
+            sx_std = dist_std / xy_safe * vx
+            sy_std = dist_std / xy_safe * vy
+            pre_den = jnp.where(vz < 0, full_safe, xy_safe)
+            px_ = vx / pre_den
+            py_ = vy / pre_den
+            pre_sq = px_ * px_ + py_ * py_
+            f_ortho = 1.0 + pre_sq * (d0 + pre_sq * (d1 + pre_sq * d2))
+            sx = jnp.where(tc == 3.0, f_ortho * px_, sx_std)
+            sy = jnp.where(tc == 3.0, f_ortho * py_, sy_std)
 
-        xt = jnp.clip(jnp.where(finite, xt, 0.0), 0.0, ws - 1.0)
-        yt = jnp.clip(jnp.where(finite, yt, 0.0), 0.0, hs - 1.0)
+            pix_x = P(PARAM_FOCAL) * sx + P(PARAM_PRINCIPAL)
+            pix_y = P(PARAM_FOCAL + 1) * sy + P(PARAM_PRINCIPAL + 1)
 
-        # Window anchor from VALID pixels only, centered on their span.
-        # Invalid pixels clamp to coord 0 above; letting them into the min
-        # drags the window away from the tile's real source footprint and
-        # silently invalidates visible sources (edge tiles straddling the
-        # source boundary) — the round-2 RMSE-tail bug.
-        # (min-based anchoring keeps the strongest guaranteed span under the
-        # 128/8 alignment: x >= ww-127, y >= wh-7 from the valid min.)
-        big = jnp.float32(1e9)
-        xmin = jnp.min(jnp.where(ok0, xt, big))
-        ymin = jnp.min(jnp.where(ok0, yt, big))
-        xmin = jnp.where(xmin >= big, 0.0, xmin)
-        ymin = jnp.where(ymin >= big, 0.0, ymin)
-        ox = jnp.clip(xmin.astype(jnp.int32) // 128, 0, max((ws_pad - ww) // 128, 0)) * 128
-        oy = jnp.clip(ymin.astype(jnp.int32) // 8, 0, max((hs_pad - wh) // 8, 0)) * 8
-        ox = pl.multiple_of(ox, 128)
-        oy = pl.multiple_of(oy, 8)
-        # one DMA per channel into the stacked (C*WH, WW) window
-        copies = [
-            pltpu.make_async_copy(
-                src_ref.at[n_idx, ci, pl.ds(oy, wh), pl.ds(ox, ww)],
-                win_ref.at[pl.ds(ci * wh, wh), :],
-                sems.at[ci],
-            )
-            for ci in range(c)
-        ]
-        for cp in copies:
-            cp.start()
+            cf = P(PARAM_COS_FOV)
+            dot = -vz
+            outside_fov = dot * jnp.abs(dot) <= cf * jnp.abs(cf) * full_sq
+            outside_fov &= cf != -1.0
+            res_x, res_y = P(PARAM_RES), P(PARAM_RES + 1)
+            inside_sensor = (pix_x >= 0) & (pix_x < res_x) & (pix_y >= 0) & (pix_y < res_y)
+            xt = pix_x / res_x * ws - 0.5
+            yt = pix_y / res_y * hs - 0.5
+            finite = jnp.isfinite(xt) & jnp.isfinite(yt)
+            ok0 = finite & inside_sensor & ~outside_fov & (disp > 0)
 
-        in_win_t = (xt >= ox) & (xt <= ox + (ww - 1.0)) & (yt >= oy) & (yt <= oy + (wh - 1.0))
-        ok_t = (ok0 & in_win_t).astype(jnp.float32)
-        valid_ref[...] = ok_t.reshape(1, th, tw).astype(valid_ref.dtype)
-        # geometrically visible but outside the DMA window: the sample is
-        # MISSING, not invisible. Consumers must treat the whole pixel's cost
-        # as unevaluable (FLT_MAX), or the keep^2 renormalization fabricates
-        # cheap false minima wherever scattered candidate maps (random
-        # proposals) blow up a tile's source footprint — the round-2
-        # catastrophic-pixel bug.
-        clip_ref[...] = (ok0 & ~in_win_t).astype(clip_ref.dtype).reshape(1, th, tw)
+            xt = jnp.clip(jnp.where(finite, xt, 0.0), 0.0, ws - 1.0)
+            yt = jnp.clip(jnp.where(finite, yt, 0.0), 0.0, hs - 1.0)
+            return xt, yt, ok0
 
-        # ---- hat weights with pixels on the LANE axis (no transposes) ----
-        # Mosaic feeds the MXU in bf16 no matter what `precision` asks, so
-        # every matmul operand here must be exactly bf16-representable or
-        # split. Measured on v5e: unmitigated, the sampled colors carry
-        # ~2.5e-3 of bf16 rounding — ~30% of the |dst-src| residual at the
-        # cost optimum, which flipped solver decisions at low-texture pixels
-        # (the round-2 RMSE tail).
+        # ---- pass 1: project every source in the batch, start its DMA ----
+        state = []
+        for gi in range(g):
+            n_idx = n0 + gi
+            xt, yt, ok0 = project(n_idx)
+
+            # Window anchor from VALID pixels only, centered on their span.
+            # Invalid pixels clamp to coord 0 above; letting them into the
+            # min drags the window away from the tile's real source footprint
+            # and silently invalidates visible sources (edge tiles straddling
+            # the source boundary) — the round-2 RMSE-tail bug.
+            # (min-based anchoring keeps the strongest guaranteed span under
+            # the 128/8 alignment: x >= ww-127, y >= wh-7 from the valid min.)
+            big = jnp.float32(1e9)
+            xmin = jnp.min(jnp.where(ok0, xt, big))
+            ymin = jnp.min(jnp.where(ok0, yt, big))
+            xmin = jnp.where(xmin >= big, 0.0, xmin)
+            ymin = jnp.where(ymin >= big, 0.0, ymin)
+            ox = jnp.clip(xmin.astype(jnp.int32) // 128, 0, max((ws_pad - ww) // 128, 0)) * 128
+            oy = jnp.clip(ymin.astype(jnp.int32) // 8, 0, max((hs_pad - wh) // 8, 0)) * 8
+            ox = pl.multiple_of(ox, 128)
+            oy = pl.multiple_of(oy, 8)
+            # one DMA per channel into the stacked (C*WH, WW) window
+            # one DMA per channel into the stacked (C*WH, WW) window.
+            # (measured on v5e: a single 3-D (C, WH, WW) copy into a
+            # (g, c, wh, ww) scratch was ~2 ms SLOWER at 2K x 16 src — the
+            # DMA cost here is per-(8,128)-tile processing, not descriptor
+            # count, and the value-level reshape the 3-D layout forces on
+            # the matmul LHS costs a relayout)
+            copies = [
+                pltpu.make_async_copy(
+                    src_ref.at[n_idx, ci, pl.ds(oy, wh), pl.ds(ox, ww)],
+                    win_ref.at[gi, pl.ds(ci * wh, wh), :],
+                    sems.at[gi, ci],
+                )
+                for ci in range(c)
+            ] if ablate != "no_dma" else []
+            for cp in copies:
+                cp.start()
+
+            in_win_t = (xt >= ox) & (xt <= ox + (ww - 1.0)) & (yt >= oy) & (yt <= oy + (wh - 1.0))
+            ok_t = (ok0 & in_win_t).astype(jnp.float32)
+            valid_ref[gi] = ok_t.astype(valid_ref.dtype)
+            # geometrically visible but outside the DMA window: the sample is
+            # MISSING, not invisible. Consumers must treat the whole pixel's
+            # cost as unevaluable (FLT_MAX), or the keep^2 renormalization
+            # fabricates cheap false minima wherever scattered candidate maps
+            # (random proposals) blow up a tile's source footprint — the
+            # round-2 catastrophic-pixel bug.
+            clip_ref[gi] = (ok0 & ~in_win_t).astype(clip_ref.dtype)
+            state.append((xt, yt, ox, oy, ok_t, copies))
+
+        # ---- pass 2: weights + contraction per source (DMA k+1 overlaps) --
+        # Hat weights with pixels on the LANE axis (no transposes). Mosaic
+        # feeds the MXU in bf16 no matter what `precision` asks, so every
+        # matmul operand here must be exactly bf16-representable or split.
+        # Measured on v5e: unmitigated, the sampled colors carry ~2.5e-3 of
+        # bf16 rounding — ~30% of the |dst-src| residual at the cost optimum,
+        # which flipped solver decisions at low-texture pixels (the round-2
+        # RMSE tail).
         #   (a) subpixel positions quantize to 1/256 px, making the hat
         #       weights k/256 (k<=255): exact in bf16's 8 significand bits
         #       (coordinate cost: <=1/512 px, far below projection noise);
         #   (b) the image window splits hi = bf16(win), lo = win - hi and
         #       contracts twice (lo's rounding error is ~2e-3 * 4e-3 = 8e-6);
+        #       with src_exact_bf16 the sources are pre-quantized to k/256 so
+        #       a SINGLE contraction is exact (and a bf16 source stack is
+        #       then lossless: k/256 fits bf16's 8 significand bits exactly);
         #   (c) the y-contraction stays on the VPU as f32 pairwise adds —
         #       jnp.sum over sublanes also lowers through the MXU.
-        lxr = jnp.clip(xt - ox.astype(jnp.float32), 0.0, ww - 1.0).reshape(1, p)
-        lyr = jnp.clip(yt - oy.astype(jnp.float32), 0.0, wh - 1.0).reshape(1, p)
-        lxr = jnp.round(lxr * 256.0) * (1.0 / 256.0)
-        lyr = jnp.round(lyr * 256.0) * (1.0 / 256.0)
         jx = jax.lax.broadcasted_iota(jnp.int32, (ww, p), 0).astype(jnp.float32)
-        wxT = jnp.maximum(1.0 - jnp.abs(lxr - jx), 0.0)  # (WW, P), bf16-exact
         jy = jax.lax.broadcasted_iota(jnp.int32, (wh, p), 0).astype(jnp.float32)
-        wyT = jnp.maximum(1.0 - jnp.abs(lyr - jy), 0.0)  # (WH, P), bf16-exact
-
-        for cp in copies:
-            cp.wait()
-        win = win_ref[...].astype(jnp.float32)  # (C*WH, WW)
-
-        def xdot(lhs):
-            return jax.lax.dot_general(
-                lhs, wxT, (((1,), (0,)), ((), ())),
-                precision=precision, preferred_element_type=jnp.float32,
-            )
-
-        if src_exact_bf16:
-            # sources were quantized to k/256 at upload (cost.quantize_src):
-            # every window value is exactly bf16-representable, and
-            # (8-bit) x (8-bit) products fit f32 exactly — ONE contraction,
-            # no hi/lo split (round-3 item 8: reclaims the factor-2 on the
-            # x-contraction)
-            tmp = xdot(win)
-        else:
-            win_hi = win.astype(jnp.bfloat16).astype(jnp.float32)
-            win_lo = win - win_hi
-            tmp = xdot(win_hi) + xdot(win_lo)  # (C*WH, P)
-        okr = ok_t.reshape(1, p)
         # pad the row count to a power of two so the tree fold is pure
         # halving — the odd-count `.at[:1].add` fallback lowers to a
         # scatter-add whose empty index constant pallas cannot capture
@@ -501,26 +508,83 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
         pow2 = 1
         while pow2 < wh:
             pow2 *= 2
-        for ci in range(c):
-            rows = tmp[ci * wh:(ci + 1) * wh] * wyT  # (WH, P) f32 on the VPU
-            if pow2 != wh:
-                rows = jnp.concatenate(
-                    [rows, jnp.zeros((pow2 - wh, p), jnp.float32)], axis=0
+
+        for gi in range(g):
+            xt, yt, ox, oy, ok_t, copies = state[gi]
+            if ablate == "proj_only":
+                for cp in copies:
+                    cp.wait()
+                for ci in range(c):
+                    out_ref[gi, ci] = jnp.zeros((th, tw), out_ref.dtype)
+                continue
+            lxr = jnp.clip(xt - ox.astype(jnp.float32), 0.0, ww - 1.0).reshape(1, p)
+            lyr = jnp.clip(yt - oy.astype(jnp.float32), 0.0, wh - 1.0).reshape(1, p)
+            lxr = jnp.round(lxr * 256.0) * (1.0 / 256.0)
+            lyr = jnp.round(lyr * 256.0) * (1.0 / 256.0)
+            if ablate == "ones_wx":
+                wxT = jnp.broadcast_to(lxr * (1.0 / ww), (ww, p))
+            else:
+                wxT = jnp.maximum(1.0 - jnp.abs(lxr - jx), 0.0)  # (WW, P), bf16-exact
+            # (an explicit wxT.astype(bfloat16) to halve the weight matrix's
+            # VMEM traffic measured ~4 ms SLOWER: Mosaic already folds the
+            # f32->bf16 conversion into the MXU operand stream, so the cast
+            # only adds a materialization pass)
+            wyT = jnp.maximum(1.0 - jnp.abs(lyr - jy), 0.0)  # (WH, P), bf16-exact
+
+            for cp in copies:
+                cp.wait()
+
+            def xdot(lhs, rhs):
+                return jax.lax.dot_general(
+                    lhs, rhs, (((1,), (0,)), ((), ())),
+                    precision=precision, preferred_element_type=jnp.float32,
                 )
-            n_rows = pow2
-            while n_rows > 1:
-                half = n_rows // 2
-                rows = rows[:half] + rows[half:2 * half]
-                n_rows = half
-            out_ref[0, ci] = (rows * okr).reshape(th, tw).astype(out_ref.dtype)
+
+            if ablate == "skip_dot":
+                tmp = jnp.broadcast_to(wxT[:1].astype(jnp.float32) * wyT[:1], (c * wh, p))
+            elif src_exact_bf16:
+                # sources quantized to k/256 at upload (cost.quantize_src):
+                # every window value is exactly bf16-representable, and
+                # (8-bit) x (8-bit) products fit f32 exactly — ONE
+                # contraction, no hi/lo split.
+                tmp = xdot(win_ref[gi][...], wxT)
+            else:
+                win = win_ref[gi].astype(jnp.float32)  # (C*WH, WW)
+                win_hi = win.astype(jnp.bfloat16).astype(jnp.float32)
+                win_lo = win - win_hi
+                tmp = xdot(win_hi, wxT) + xdot(win_lo, wxT)  # (C*WH, P)
+            okr = ok_t.reshape(1, p)
+            for ci in range(c):
+                if ablate == "skip_fold":
+                    out_ref[gi, ci] = (tmp[ci * wh:ci * wh + 1] * okr).reshape(th, tw).astype(out_ref.dtype)
+                    continue
+                rows = tmp[ci * wh:(ci + 1) * wh] * wyT  # (WH, P) f32 on the VPU
+                if pow2 != wh:
+                    rows = jnp.concatenate(
+                        [rows, jnp.zeros((pow2 - wh, p), jnp.float32)], axis=0
+                    )
+                n_rows = pow2
+                while n_rows > 1:
+                    half = n_rows // 2
+                    rows = rows[:half] + rows[half:2 * half]
+                    n_rows = half
+                out_ref[gi, ci] = (rows * okr).reshape(th, tw).astype(out_ref.dtype)
 
     return _kernel
+
+
+# Sources per grid step (multi-src batching; sweep on v5e, see NOTES).
+# The per-launch fixed costs (grid sequencing, block loads, world-point math)
+# were ~40% of the sampler at g=1; g amortizes them and overlaps window DMAs
+# across sources. Must divide the source count — auto-derated otherwise.
+V4_SRCS_PER_LAUNCH = 4
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "interpret", "precision", "out_dtype", "src_exact_bf16", "th", "tw", "wh_max", "ww_max"
+        "interpret", "precision", "out_dtype", "src_exact_bf16", "th", "tw", "wh_max",
+        "ww_max", "srcs_per_launch", "_ablate"
     ),
 )
 def project_sample_planar_v4(
@@ -537,6 +601,8 @@ def project_sample_planar_v4(
     tw: int | None = None,     # dst tile width (default TILE_W)
     wh_max: int | None = None, # window rows (default V4_WINDOW_H)
     ww_max: int | None = None, # window cols (default V4_WINDOW_W)
+    srcs_per_launch: int | None = None,  # default V4_SRCS_PER_LAUNCH
+    _ablate: str = "",  # timing ablations only (tools/); NOT a correct kernel
 ):
     """Fused plane-sweep projection + bilinear sampling (kernel v4: see the
     section comment). Returns channel-planar (sampled (N, C, H, W), valid
@@ -550,6 +616,13 @@ def project_sample_planar_v4(
     ww_max = V4_WINDOW_W if ww_max is None else ww_max
     n = src_planar.shape[0]
     _, c, hs, ws = src_planar.shape
+    g = V4_SRCS_PER_LAUNCH if srcs_per_launch is None else srcs_per_launch
+    while n % g:
+        g -= 1
+    if src_planar.dtype == jnp.bfloat16 and not src_exact_bf16:
+        # the hi/lo exactness split needs the f32 residual; a bf16 stack is
+        # only lossless when pre-quantized to k/256 (cost.quantize_src)
+        raise ValueError("bf16 source stack requires src_exact_bf16")
     # edge-pad sources to the (8, 128) DMA tiling; the kernel keeps using
     # the TRUE dims for projection/clipping, so small pyramid levels
     # (w < 128) run the same kernel instead of falling back to XLA gathers
@@ -560,12 +633,12 @@ def project_sample_planar_v4(
     disparity_p, (h0, w0) = pad_to_tiles(disparity, th, tw)
     rays_p, _ = pad_to_tiles_nhw(rays, th, tw)
     h, w = disparity_p.shape
-    grid = (n, h // th, w // tw)
+    grid = (n // g, h // th, w // tw)
     ww = min(ww_max, ws_pad)
     wh = min(wh_max, hs_pad)
 
     out, valid, clipped = pl.pallas_call(
-        _make_project_kernel_v4(ww, wh, c, hs, ws, precision, src_exact_bf16),
+        _make_project_kernel_v4(ww, wh, c, hs, ws, precision, src_exact_bf16, g, _ablate),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam params (N, PARAM_SIZE)
@@ -575,9 +648,9 @@ def project_sample_planar_v4(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, c, th, tw), lambda s, i, j: (s, 0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, tw), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, c, th, tw), lambda s, i, j: (s, 0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, th, tw), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, th, tw), lambda s, i, j: (s, i, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, c, h, w), out_dtype),
@@ -585,8 +658,8 @@ def project_sample_planar_v4(
             jax.ShapeDtypeStruct((n, h, w), out_dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((c * wh, ww), src_planar.dtype),
-            pltpu.SemaphoreType.DMA((c,)),
+            pltpu.VMEM((g, c * wh, ww), src_planar.dtype),
+            pltpu.SemaphoreType.DMA((g, c)),
         ],
         interpret=interpret,
     )(
@@ -639,26 +712,37 @@ def pack_camera_params_traced(cams) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 HALO = 1  # 3x3 patch radius (Derp.h:26 kSearchWindowRadius)
+# k2 core tile. The 1-px halo costs a full (8, 128) alignment ring on the
+# window fetch; (32, 512) amortizes the ring a little better than the old
+# (32, 256) (42.0 vs 43.2 ms at 2K x 16 src) while leaving VMEM headroom —
+# (48, 512) was 41.3 ms but its 13 MB scratch trips the 16 MB scoped-vmem
+# limit at mid-pyramid shapes (w=1024 OOMs at compile).
 K2_TILE_H = 32
-K2_TILE_W = 256
-K2_IN_H = K2_TILE_H + 16   # leading pad 8 + halo 1 -> rows [i*32, i*32+48)
-K2_IN_W = K2_TILE_W + 256  # leading pad 128 + halo 1 -> cols [j*256, j*256+512)
+K2_TILE_W = 512
+K2_IN_H = K2_TILE_H + 16   # leading pad 8 + halo 1 -> rows [i*th, i*th+th+16)
+K2_IN_W = K2_TILE_W + 256  # leading pad 128 + halo 1 -> cols [j*tw, j*tw+tw+256)
 
 
 def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
-                             flt_max: float, min_var: float):
-    th, tw = K2_TILE_H, K2_TILE_W
-    ih, iw = K2_IN_H, K2_IN_W
+                             flt_max: float, min_var: float,
+                             unroll: bool = False, ablate: str = "",
+                             th: int = None, tw: int = None):
+    th = K2_TILE_H if th is None else th
+    tw = K2_TILE_W if tw is None else tw
+    ih, iw = th + 16, tw + 256
     n_patch = float((2 * HALO + 1) ** 2)
-
-    def _box(x):
-        """3x3 box sum of the (ih, iw) plane, returned for the (th, tw) core
-        (core origin at local (8, 128); halo 1)."""
-        rows = x[8 - 1:8 - 1 + th] + x[8:8 + th] + x[8 + 1:8 + 1 + th]
-        return rows[:, 128 - 1:128 - 1 + tw] + rows[:, 128:128 + tw] + rows[:, 128 + 1:128 + 1 + tw]
 
     def _core(x):
         return x[8:8 + th, 128:128 + tw]
+
+    if ablate == "no_box":
+        _box = _core
+    else:
+        def _box(x):
+            """3x3 box sum of the (ih, iw) plane, returned for the (th, tw)
+            core (core origin at local (8, 128); halo 1)."""
+            rows = x[8 - 1:8 - 1 + th] + x[8:8 + th] + x[8 + 1:8 + 1 + th]
+            return rows[:, 128 - 1:128 - 1 + tw] + rows[:, 128:128 + tw] + rows[:, 128 + 1:128 + 1 + tw]
 
     def _kernel(exclude_ref, samp_hbm, val_hbm, dst_hbm, var_ref,
                 cost_ref, conf_ref, swin_ref, vwin_ref, dwin_ref, sems):
@@ -674,7 +758,7 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
                 val_hbm.at[:, pl.ds(row0, ih), pl.ds(col0, iw)], vwin_ref, sems.at[1]),
             pltpu.make_async_copy(
                 dst_hbm.at[:, pl.ds(row0, ih), pl.ds(col0, iw)], dwin_ref, sems.at[2]),
-        ]
+        ] if ablate != "no_dma" else []
         for cp in cps:
             cp.start()
         for cp in cps:
@@ -683,21 +767,40 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
         dst_c = [dwin_ref[ci].astype(jnp.float32) for ci in range(c)]
         neg = jnp.float32(-flt_max)
 
+        if ablate == "read_only":
+            cost_ref[...] = _core(dst_c[0])
+            conf_ref[...] = _core(dst_c[1 % c])
+            return
+        if ablate == "diff_only":
+            acc = jnp.zeros((th, tw), jnp.float32)
+            def dstep(s, a):
+                d2 = jnp.zeros((ih, iw), jnp.float32)
+                for ci in range(c):
+                    diff = dst_c[ci] - swin_ref[s, ci].astype(jnp.float32)
+                    d2 = d2 + diff * diff
+                return a + _core(d2)
+            acc = jax.lax.fori_loop(0, n_src, dstep, acc)
+            cost_ref[...] = acc
+            conf_ref[...] = acc
+            return
+
         def src_step(s, carry):
             b1, u1, b2, u2, total_u, count = carry
             not_self = (exclude_ref[0, 0] != s).astype(jnp.float32)
             vld = vwin_ref[s].astype(jnp.float32) * not_self  # (ih, iw)
             cnt = _box(vld)
             cnt_safe = jnp.maximum(cnt, 1.0)
-            scale = n_patch / cnt_safe
+            inv_cnt = 1.0 / cnt_safe  # one divide; scale and md reuse it
+            scale = n_patch * inv_cnt
 
             d2 = jnp.zeros((ih, iw), jnp.float32)
             md_sq = jnp.zeros((th, tw), jnp.float32)
             for ci in range(c):
                 diff = (dst_c[ci] - swin_ref[s, ci].astype(jnp.float32)) * vld
                 d2 = d2 + diff * diff
-                md = _box(diff) / cnt_safe
-                md_sq = md_sq + md * md
+                if ablate != "no_md":
+                    md = _box(diff) * inv_cnt
+                    md_sq = md_sq + md * md
             biased = _box(d2) * scale
             unbiased = jnp.maximum(biased - n_patch * md_sq, 0.0)
 
@@ -718,7 +821,12 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
 
         zero = jnp.zeros((th, tw), jnp.float32)
         carry = (jnp.full((th, tw), neg), zero, jnp.full((th, tw), neg), zero, zero, zero)
-        b1, u1, b2, u2, total_u, count = jax.lax.fori_loop(0, n_src, src_step, carry)
+        if unroll:
+            for s in range(n_src):
+                carry = src_step(s, carry)
+            b1, u1, b2, u2, total_u, count = carry
+        else:
+            b1, u1, b2, u2, total_u, count = jax.lax.fori_loop(0, n_src, src_step, carry)
 
         keep = jnp.clip(jnp.maximum(count - 2.0, float(min_keep)), 1.0, float(n_src))
         drop = count - keep
@@ -732,7 +840,8 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("min_keep", "flt_max", "min_var", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "min_keep", "flt_max", "min_var", "interpret", "unroll", "_ablate", "th", "tw"))
 def ssd_combine(
     sampled: jnp.ndarray,    # (N, C, H, W) channel-planar samples (bf16 ok)
     k_valid: jnp.ndarray,    # (N, H, W) {0,1}
@@ -743,6 +852,10 @@ def ssd_combine(
     flt_max: float = 3.4028235e38,
     min_var: float = 1.0 / 12.0 / 65025.0,
     interpret: bool | None = None,
+    unroll: bool = False,
+    _ablate: str = "",  # timing ablations only (tools/); NOT a correct kernel
+    th: int | None = None,  # core tile (default K2_TILE_H/W)
+    tw: int | None = None,
 ):
     """Bias-compensated 3x3 patch SSD across sources + drop-2-worst combine
     (cost.per_src_ssd + cost.combine_top2 semantics; Derp.cpp:104-226,
@@ -750,7 +863,9 @@ def ssd_combine(
     if interpret is None:
         interpret = _default_interpret()
     n, c, h0, w0 = sampled.shape
-    th, tw = K2_TILE_H, K2_TILE_W
+    th = K2_TILE_H if th is None else th
+    tw = K2_TILE_W if tw is None else tw
+    ih, iw = th + 16, tw + 256
     grid = ((h0 + th - 1) // th, (w0 + tw - 1) // tw)
     # Aligned leading pad (8, 128) + trailing so each (48, 512) DMA fits.
     # The kernel's 3x3 box reads exactly ONE halo pixel past the image, and
@@ -760,8 +875,8 @@ def ssd_combine(
     # and invalidates the 4 corner pixels for EVERY source, which made
     # check_coverage reject default-FOV rigs on the TPU hot path. Beyond the
     # 1-px ring the filler is never read by any in-image pixel's box.
-    tpad_r = grid[0] * th + (K2_IN_H - 8) - h0
-    tpad_c = grid[1] * tw + (K2_IN_W - 128) - w0
+    tpad_r = grid[0] * th + (ih - 8) - h0
+    tpad_c = grid[1] * tw + (iw - 128) - w0
     ring = lambda a: [(0, 0)] * (a.ndim - 2) + [(1, 1), (1, 1)]  # noqa: E731
     pads = [(7, tpad_r - 1), (127, tpad_c - 1)]
 
@@ -779,7 +894,7 @@ def ssd_combine(
     )
 
     cost, conf = pl.pallas_call(
-        _make_ssd_combine_kernel(n, c, min_keep, flt_max, min_var),
+        _make_ssd_combine_kernel(n, c, min_keep, flt_max, min_var, unroll, _ablate, th, tw),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # exclude (1, 1)
@@ -797,9 +912,9 @@ def ssd_combine(
             jax.ShapeDtypeStruct((grid[0] * th, grid[1] * tw), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, c, K2_IN_H, K2_IN_W), samp_p.dtype),
-            pltpu.VMEM((n, K2_IN_H, K2_IN_W), val_p.dtype),
-            pltpu.VMEM((c, K2_IN_H, K2_IN_W), dst_p.dtype),
+            pltpu.VMEM((n, c, ih, iw), samp_p.dtype),
+            pltpu.VMEM((n, ih, iw), val_p.dtype),
+            pltpu.VMEM((c, ih, iw), dst_p.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,

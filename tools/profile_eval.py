@@ -72,12 +72,21 @@ def main():
     def full_eval(d):
         return cost_ops.cost_for_disparity(cctx, d)
 
+    import numpy as np
+
+    def sync(out):
+        # tiny host readback: on the tunnelled backend block_until_ready can
+        # return before execution finishes (deferred dispatch)
+        jax.block_until_ready(out)
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(jax.device_get(leaf[(slice(0, 1),) * leaf.ndim]))
+
     def timed(fn, *a):
-        jax.block_until_ready(fn(*a))  # compile
+        sync(fn(*a))  # compile
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*a))
+            sync(fn(*a))
             best = min(best, time.perf_counter() - t0)
         return best
 
