@@ -235,29 +235,29 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
 
     if ctx.src_imgs_t is not None:
         # two fused kernels, no big XLA intermediates: v4 projects + samples
-        # (warp fields never touch HBM), k2 forms the bias-compensated SSDs
-        # + drop-2-worst combine from the sampled stack
+        # (warp fields never touch HBM) and writes STRAIGHT INTO k2's padded
+        # window layout (an XLA pad of the sampled stack between the kernels
+        # was a full-HBM rewrite per eval — 41 of the combine's 43 ms at 2K);
+        # k2 forms the bias-compensated SSDs + drop-2-worst combine, folding
+        # the visible-but-unsampled (clipped) guard in-kernel: any non-self
+        # source clipped at a pixel makes its cost unevaluable (FLT_MAX), or
+        # the keep^2 renormalization would fabricate false minima wherever
+        # scattered candidate maps blow up a tile's source footprint
         disparity_map = jnp.broadcast_to(jnp.asarray(disparity, jnp.float32), (h, w))
         rays_planar = jnp.moveaxis(ctx.dst_rays, -1, 0)  # (3, H, W)
         params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
-        sampled, k_valid, clipped = warp_pallas.project_sample_planar_v4(
+        sampled_p, val3_p = warp_pallas.project_sample_packed(
             ctx.src_imgs_t, params, ctx.cam_dst.position, disparity_map, rays_planar,
             # producers (solver.make_level_context / parallel.sharding)
             # quantize the stack under the same flag
             src_exact_bf16=SRC_QUANT_EXACT,
         )
         dst_planar = jnp.moveaxis(ctx.dst_img[..., :3], -1, 0)
-        cost, confidence = warp_pallas.ssd_combine(
-            sampled, k_valid, dst_planar, ctx.variance, ctx.exclude_idx,
+        return warp_pallas.ssd_combine(
+            sampled_p, val3_p, dst_planar, ctx.variance, ctx.exclude_idx,
             min_keep=MIN_OVERLAPPING_CAMS - 1, flt_max=float(FLT_MAX),
-            min_var=float(MIN_VAR),
+            min_var=float(MIN_VAR), true_shape=(h, w),
         )
-        # any non-self source visible but unsampled (window overflow under a
-        # scattered candidate map) -> the pixel's cost is unevaluable; keeping
-        # it comparable would fabricate false minima via the keep^2 rescale
-        not_self = (jnp.arange(n) != ctx.exclude_idx).astype(clipped.dtype)
-        any_clip = jnp.max(clipped * not_self[:, None, None], axis=0) > 0
-        return jnp.where(any_clip, FLT_MAX, cost), confidence
 
     def one(cam_src, src_img):
         return per_src_ssd(pos_rays, cam_src, ctx.dst_img, src_img, disparity)

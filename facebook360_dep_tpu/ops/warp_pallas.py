@@ -344,7 +344,7 @@ V4_WINDOW_W = 256  # lane axis: origin aligned to 128 -> x-magnification <= (256
 
 def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precision=None,
                             src_exact_bf16: bool = False, g: int = 1,
-                            ablate: str = ""):
+                            ablate: str = "", packed: tuple | None = None):
     """hs/ws are the TRUE source dims; src_ref may carry (8, 128)-aligned
     edge padding beyond them (small pyramid levels).
 
@@ -352,12 +352,25 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
     per-launch fixed costs — grid sequencing, disp/rays block loads, the
     src-independent world-point math — amortize over g sources, and the
     window DMA of source k overlaps the weight-build/matmul of source k-1.
+
+    ``packed``: None for the plain layout (BlockSpec'd sampled/valid/clip
+    outputs), or ``(h0, w0)`` to write straight into ssd_combine's padded
+    window layout — sampled and a combined valid/clip plane val3 (1 valid,
+    -1 clipped, 0 invisible) land at element offset (8, 128) of pl.ANY
+    outputs via manual DMA, with the 1-px reflect-101 ring (rows/cols
+    -1 := 1, h0 := h0-2, w0 := w0-2) written as slivers by the border
+    tiles. This removes the XLA pad of the (N, C, H, W) stack between the
+    kernels, which dominated the combine stage (measured 41 of 43 ms at
+    2K x 16 src: a full-HBM rewrite per eval).
     """
     precision = MATMUL_PRECISION if precision is None else precision
     pi = float(np.pi)
 
-    def _kernel(params_ref, dstpos_ref, disp_ref, rays_ref, src_ref,
-                out_ref, valid_ref, clip_ref, win_ref, sems):
+    def _kernel(params_ref, dstpos_ref, disp_ref, rays_ref, src_ref, *rest):
+        if packed is None:
+            out_ref, valid_ref, clip_ref, win_ref, sems = rest
+        else:
+            samp_any, val_any, win_ref, sems, out_s, val_s, sliver_s, wsems, ssem = rest
         n0 = pl.program_id(0) * g
         hs_pad, ws_pad = src_ref.shape[2], src_ref.shape[3]
         th, tw = disp_ref.shape
@@ -471,15 +484,17 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
 
             in_win_t = (xt >= ox) & (xt <= ox + (ww - 1.0)) & (yt >= oy) & (yt <= oy + (wh - 1.0))
             ok_t = (ok0 & in_win_t).astype(jnp.float32)
-            valid_ref[gi] = ok_t.astype(valid_ref.dtype)
             # geometrically visible but outside the DMA window: the sample is
             # MISSING, not invisible. Consumers must treat the whole pixel's
             # cost as unevaluable (FLT_MAX), or the keep^2 renormalization
             # fabricates cheap false minima wherever scattered candidate maps
             # (random proposals) blow up a tile's source footprint — the
             # round-2 catastrophic-pixel bug.
-            clip_ref[gi] = (ok0 & ~in_win_t).astype(clip_ref.dtype)
-            state.append((xt, yt, ox, oy, ok_t, copies))
+            clip_t = (ok0 & ~in_win_t).astype(jnp.float32)
+            if packed is None:
+                valid_ref[gi] = ok_t.astype(valid_ref.dtype)
+                clip_ref[gi] = clip_t.astype(clip_ref.dtype)
+            state.append((xt, yt, ox, oy, ok_t, clip_t, copies))
 
         # ---- pass 2: weights + contraction per source (DMA k+1 overlaps) --
         # Hat weights with pixels on the LANE axis (no transposes). Mosaic
@@ -509,13 +524,169 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
         while pow2 < wh:
             pow2 *= 2
 
+        def emit_packed(gi, outs, ok_t, clip_t):
+            """Write one source's tile into the k2-padded window layout.
+
+            The bulk write is always the FULL (th, tw) tile at element offset
+            (8 + i*th, 128 + j*tw) — TPU DMA requires (8, 128)-multiple slice
+            shapes and 128-aligned lane offsets, so partial-edge clipping is
+            not expressible. Instead the wrapper pads disparity/rays with ONE
+            reflect-101 row/col (then edge), which makes the padded-region
+            outputs EXACTLY the reflect ring values (same disparity + ray =>
+            bit-identical projection and sample), so the bulk itself lays
+            down the ring wherever grid padding exists. Slivers remain only
+            for rings that fall OUTSIDE every bulk: the top ring row 7
+            (always) and the bottom/right rings when the image is an exact
+            tile multiple — each as a full (8, 128)-aligned block whose
+            first row/last col holds the ring and whose junk lands either in
+            never-read pad or in cells the SAME tile's bulk rewrites
+            afterwards (DMA order enforced by waiting). val3 = ok - clip
+            (1 valid, -1 clipped, 0 invisible)."""
+            h0, w0 = packed
+            n_idx = n0 + gi
+            i = pl.program_id(1)
+            j = pl.program_id(2)
+            # bulk/sliver destinations are aligned by construction (th % 8 ==
+            # tw % 128 == 0) but Mosaic can't prove it through program_id
+            dst_r = pl.multiple_of(8 + i * th, 8)
+            dst_c = pl.multiple_of(128 + j * tw, 128)
+            ilast, jlast = (h0 - 1) // th, (w0 - 1) // tw
+            exact_h, exact_w = h0 % th == 0, w0 % tw == 0
+            planes = list(range(c + 1))  # c sampled channels + val3
+            for ci in range(c):
+                out_s[gi, ci] = outs[ci]
+            val_s[gi] = ok_t - clip_t
+
+            def plane_val(ci):
+                return outs[ci] if ci < c else ok_t - clip_t
+
+            def plane_dst(ci, rows, cols):
+                # single flat .at: a chained TransformedRef at an unaligned
+                # row offset fails Mosaic's tile-alignment proof
+                if ci < c:
+                    return samp_any.at[n_idx, ci, rows, cols]
+                return val_any.at[n_idx, rows, cols]
+
+            def plane_src(ci):
+                return out_s.at[gi, ci] if ci < c else val_s.at[gi]
+
+            def sliver_rows(src_row, dst_row, local_row):
+                """(8, tw) block whose row ``local_row`` is tile row
+                ``src_row``, written at buffer row ``dst_row`` (8-aligned —
+                Mosaic requires tile-aligned offsets when slicing a 4-D HBM
+                ref; junk rows land in never-read pad or are repaired by
+                this tile's own bulk). start+wait: ordered vs later DMAs."""
+                sub = jax.lax.broadcasted_iota(jnp.int32, (8, tw), 0)
+                for ci in planes:
+                    sliver_s[gi, ci, :8, :tw] = jnp.where(
+                        sub == local_row, plane_val(ci)[src_row:src_row + 1, :], 0.0)
+                    cp = pltpu.make_async_copy(
+                        sliver_s.at[gi, ci, pl.ds(0, 8), pl.ds(0, tw)],
+                        plane_dst(ci, pl.ds(dst_row, 8), pl.ds(dst_c, tw)),
+                        ssem,
+                    )
+                    cp.start()
+                    cp.wait()
+
+            def sliver_cols(src_col, dst_col, local_col):
+                """(th, 128) block whose column ``local_col`` is tile column
+                ``src_col``, written with its column 0 at buffer ``dst_col``."""
+                lane = jax.lax.broadcasted_iota(jnp.int32, (th, 128), 1)
+                for ci in planes:
+                    sliver_s[gi, ci, :th, :128] = jnp.where(
+                        lane == local_col, plane_val(ci)[:, src_col:src_col + 1], 0.0)
+                    cp = pltpu.make_async_copy(
+                        sliver_s.at[gi, ci, pl.ds(0, th), pl.ds(0, 128)],
+                        plane_dst(ci, pl.ds(dst_r, th), pl.ds(dst_col, 128)),
+                        ssem,
+                    )
+                    cp.start()
+                    cp.wait()
+
+            def sliver_corner(src_row, src_col, dst_row, dst_col, local_row, local_col):
+                """(8, 128) block with (local_row, local_col) = tile
+                (src_row, src_col); dst offsets 8/128-aligned."""
+                sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                for ci in planes:
+                    v = plane_val(ci)[src_row, src_col]
+                    sliver_s[gi, ci, :8, :128] = jnp.where(
+                        (sub == local_row) & (lane == local_col), v, 0.0)
+                    cp = pltpu.make_async_copy(
+                        sliver_s.at[gi, ci, pl.ds(0, 8), pl.ds(0, 128)],
+                        plane_dst(ci, pl.ds(dst_row, 8), pl.ds(dst_col, 128)),
+                        ssem,
+                    )
+                    cp.start()
+                    cp.wait()
+
+            # --- pre-bulk slivers (their junk rows/cols are repaired by this
+            # tile's own bulk, so they must complete first) ---
+            @pl.when((i == 0) & (j == 0))
+            def _():  # corner (7, 127) <- image (1, 1); junk: lead pad + left
+                sliver_corner(1, 1, 0, 0, 7, 127)  # ring rows 0-6 (L fixes below)
+
+            if exact_w:
+                @pl.when((i == 0) & (j == jlast))
+                def _():  # corner (7, 128+w0) <- (1, w0-2); junk: R ring rows
+                    sliver_corner(1, tw - 2, 0, 128 + w0, 7, 0)  # 0-6 (R fixes)
+
+            @pl.when(i == 0)
+            def _():  # top ring row 7 <- row 1 (block [0, 8): junk = lead pad)
+                sliver_rows(1, 0, 7)
+
+            @pl.when(j == 0)
+            def _():  # left ring col 127 <- col 1 (junk cols 0-126: lead pad)
+                sliver_cols(1, 0, 127)
+
+            if exact_w:
+                @pl.when(j == jlast)
+                def _():  # right ring col 128+w0 <- col w0-2 (junk: trail pad)
+                    sliver_cols(tw - 2, 128 + w0, 0)
+
+            # --- bulk: full tile, after the pre-bulk slivers ---
+            cps = [
+                pltpu.make_async_copy(
+                    plane_src(ci),
+                    plane_dst(ci, pl.ds(dst_r, th), pl.ds(dst_c, tw)),
+                    wsems.at[gi, ci],
+                )
+                for ci in planes
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+
+            # --- post-bulk slivers (regions no bulk ever touches) ---
+            if exact_h:
+                @pl.when(i == ilast)
+                def _():  # bottom ring row 8+h0 <- row th-2 (junk: below ring;
+                    # 8+h0 is 8-aligned here since h0 % th == 0 and th % 8 == 0)
+                    sliver_rows(th - 2, 8 + h0, 0)
+
+                @pl.when((i == ilast) & (j == 0))
+                def _():  # corner (8+h0, 127) <- (th-2, 1)
+                    sliver_corner(th - 2, 1, 8 + h0, 0, 0, 127)
+
+            if exact_h and exact_w:
+                @pl.when((i == ilast) & (j == jlast))
+                def _():  # corner (8+h0, 128+w0) <- (th-2, tw-2)
+                    sliver_corner(th - 2, tw - 2, 8 + h0, 128 + w0, 0, 0)
+
+        def emit(gi, outs, ok_t, clip_t):
+            if packed is None:
+                for ci in range(c):
+                    out_ref[gi, ci] = outs[ci].astype(out_ref.dtype)
+            else:
+                emit_packed(gi, outs, ok_t, clip_t)
+
         for gi in range(g):
-            xt, yt, ox, oy, ok_t, copies = state[gi]
+            xt, yt, ox, oy, ok_t, clip_t, copies = state[gi]
             if ablate == "proj_only":
                 for cp in copies:
                     cp.wait()
-                for ci in range(c):
-                    out_ref[gi, ci] = jnp.zeros((th, tw), out_ref.dtype)
+                emit(gi, [jnp.zeros((th, tw), jnp.float32)] * c, ok_t, clip_t)
                 continue
             lxr = jnp.clip(xt - ox.astype(jnp.float32), 0.0, ww - 1.0).reshape(1, p)
             lyr = jnp.clip(yt - oy.astype(jnp.float32), 0.0, wh - 1.0).reshape(1, p)
@@ -554,9 +725,10 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
                 win_lo = win - win_hi
                 tmp = xdot(win_hi, wxT) + xdot(win_lo, wxT)  # (C*WH, P)
             okr = ok_t.reshape(1, p)
+            outs = []
             for ci in range(c):
                 if ablate == "skip_fold":
-                    out_ref[gi, ci] = (tmp[ci * wh:ci * wh + 1] * okr).reshape(th, tw).astype(out_ref.dtype)
+                    outs.append((tmp[ci * wh:ci * wh + 1] * okr).reshape(th, tw))
                     continue
                 rows = tmp[ci * wh:(ci + 1) * wh] * wyT  # (WH, P) f32 on the VPU
                 if pow2 != wh:
@@ -568,7 +740,8 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
                     half = n_rows // 2
                     rows = rows[:half] + rows[half:2 * half]
                     n_rows = half
-                out_ref[gi, ci] = (rows * okr).reshape(th, tw).astype(out_ref.dtype)
+                outs.append((rows * okr).reshape(th, tw))
+            emit(gi, outs, ok_t, clip_t)
 
     return _kernel
 
@@ -578,6 +751,37 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
 # were ~40% of the sampler at g=1; g amortizes them and overlaps window DMAs
 # across sources. Must divide the source count — auto-derated otherwise.
 V4_SRCS_PER_LAUNCH = 4
+
+
+def packed_pad_dims(h0: int, w0: int, k2_th: int | None = None, k2_tw: int | None = None):
+    """Padded-buffer dims shared by project_sample_packed (writer) and
+    ssd_combine (reader): leading (8, 128), image at (8+y, 128+x), sized to
+    cover both v4's full-tile bulk writes and k2's window fetch reach."""
+    k2_th = K2_TILE_H if k2_th is None else k2_th
+    k2_tw = K2_TILE_W if k2_tw is None else k2_tw
+    hc = -(-h0 // V4_TILE_H) * V4_TILE_H
+    wc = -(-w0 // TILE_W) * TILE_W
+    r_pad = max(-(-h0 // k2_th) * k2_th + 16, hc + 16)
+    c_pad = max(-(-w0 // k2_tw) * k2_tw + 256, wc + 256)
+    return r_pad, c_pad
+
+
+def _reflect1_grid_pad(x: jnp.ndarray, th: int, tw: int, hw_axes=(0, 1)):
+    """Grid-pad the (H, W) axes where the FIRST padded row/col is the
+    reflect-101 value (index h := h-2) and the rest are edge. With this,
+    project_sample_packed's padded-region outputs ARE the reflect ring —
+    identical disparity + ray give a bit-identical projection and sample —
+    so the full-tile bulk writes lay the ring down wherever grid padding
+    exists (see emit_packed)."""
+    for axis, t in zip(hw_axes, (th, tw)):
+        n = x.shape[axis]
+        pn = (-n) % t
+        if pn:
+            idx = np.concatenate(
+                [np.arange(n), [max(n - 2, 0)], np.full(pn - 1, n - 1)]
+            ).astype(np.int32)
+            x = jnp.take(x, jnp.asarray(idx), axis=axis)
+    return x
 
 
 @functools.partial(
@@ -672,6 +876,103 @@ def project_sample_planar_v4(
     return out[:, :, :h0, :w0], valid[:, :h0, :w0], clipped[:, :h0, :w0]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "interpret", "precision", "src_exact_bf16", "srcs_per_launch", "k2_th", "k2_tw"
+    ),
+)
+def project_sample_packed(
+    src_planar: jnp.ndarray,   # (N, C, H_s, W_s)
+    cam_params: jnp.ndarray,   # (N, PARAM_SIZE)
+    dst_position: jnp.ndarray, # (3,)
+    disparity: jnp.ndarray,    # (H, W)
+    rays: jnp.ndarray,         # (3, H, W)
+    interpret: bool | None = None,
+    precision=None,
+    src_exact_bf16: bool = False,
+    srcs_per_launch: int | None = None,
+    k2_th: int | None = None,  # consumer (ssd_combine) tile dims; set the
+    k2_tw: int | None = None,  # padded buffer extents
+):
+    """project_sample_planar_v4 writing DIRECTLY into ssd_combine's padded
+    window layout, skipping the XLA pad of the sampled stack between the two
+    kernels (a full-HBM rewrite per cost eval — measured 41 of the combine
+    stage's 43 ms at 2K x 16 src).
+
+    Returns (sampled_p (N, C, R, W_p), val3_p (N, R, W_p)) where
+    R = ceil(H/k2_th)*k2_th + 16 and W_p = ceil(W/k2_tw)*k2_tw + 256; image
+    pixel (y, x) lives at (8 + y, 128 + x), with the reflect-101 ring at
+    rows/cols 7, 8+H, 127, 128+W. val3: 1 valid, -1 clipped (visible but
+    unsampled -> the pixel's cost is unevaluable), 0 invisible. Regions
+    beyond the ring are uninitialized — by construction no in-image patch
+    reads them.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    th, tw = V4_TILE_H, TILE_W
+    k2_th = K2_TILE_H if k2_th is None else k2_th
+    k2_tw = K2_TILE_W if k2_tw is None else k2_tw
+    n = src_planar.shape[0]
+    _, c, hs, ws = src_planar.shape
+    g = V4_SRCS_PER_LAUNCH if srcs_per_launch is None else srcs_per_launch
+    while n % g:
+        g -= 1
+    if src_planar.dtype == jnp.bfloat16 and not src_exact_bf16:
+        raise ValueError("bf16 source stack requires src_exact_bf16")
+    ph, pw = (-hs) % 8, (-ws) % 128
+    if ph or pw:
+        src_planar = jnp.pad(src_planar, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="edge")
+    hs_pad, ws_pad = hs + ph, ws + pw
+    h0, w0 = disparity.shape
+    disparity_p = _reflect1_grid_pad(jnp.asarray(disparity, jnp.float32), th, tw)
+    rays_p = _reflect1_grid_pad(jnp.asarray(rays, jnp.float32), th, tw, hw_axes=(1, 2))
+    h, w = disparity_p.shape
+    grid = (n // g, h // th, w // tw)
+    ww = min(V4_WINDOW_W, ws_pad)
+    wh = min(V4_WINDOW_H, hs_pad)
+    r_pad, c_pad = packed_pad_dims(h0, w0, k2_th, k2_tw)
+
+    sampled_p, val3_p = pl.pallas_call(
+        _make_project_kernel_v4(
+            ww, wh, c, hs, ws, precision, src_exact_bf16, g, "", (h0, w0)
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, tw), lambda s, i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, th, tw), lambda s, i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, c, r_pad, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n, r_pad, c_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g, c * wh, ww), src_planar.dtype),
+            pltpu.SemaphoreType.DMA((g, c)),
+            pltpu.VMEM((g, c, th, tw), jnp.float32),      # out tile staging
+            pltpu.VMEM((g, th, tw), jnp.float32),         # val3 staging
+            pltpu.VMEM((g, c + 1, th, 128), jnp.float32),  # ring sliver staging
+            pltpu.SemaphoreType.DMA((g, c + 1)),          # bulk write sems
+            pltpu.SemaphoreType.DMA,                      # shared sliver sem
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(cam_params, jnp.float32),
+        jnp.pad(jnp.asarray(dst_position, jnp.float32), (0, 1)).reshape(1, 4),
+        disparity_p.astype(jnp.float32),
+        rays_p.astype(jnp.float32),
+        src_planar,
+    )
+    return sampled_p, val3_p
+
+
 def pack_camera_params_traced(cams) -> jnp.ndarray:
     """pack_camera_params for traced (device) camera pytrees."""
     n = cams.position.shape[0]
@@ -726,7 +1027,12 @@ K2_IN_W = K2_TILE_W + 256  # leading pad 128 + halo 1 -> cols [j*tw, j*tw+tw+256
 def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
                              flt_max: float, min_var: float,
                              unroll: bool = False, ablate: str = "",
-                             th: int = None, tw: int = None):
+                             th: int = None, tw: int = None,
+                             val3: bool = False):
+    """``val3``: validity plane carries project_sample_packed's 3-state
+    encoding (1 valid, -1 clipped, 0 invisible); clipped pixels force the
+    whole cost to FLT_MAX in-kernel (cost.cost_for_disparity's any_clip
+    guard, folded here so the clipped stack never round-trips HBM)."""
     th = K2_TILE_H if th is None else th
     tw = K2_TILE_W if tw is None else tw
     ih, iw = th + 16, tw + 256
@@ -785,9 +1091,14 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
             return
 
         def src_step(s, carry):
-            b1, u1, b2, u2, total_u, count = carry
+            b1, u1, b2, u2, total_u, count, clip_any = carry
             not_self = (exclude_ref[0, 0] != s).astype(jnp.float32)
-            vld = vwin_ref[s].astype(jnp.float32) * not_self  # (ih, iw)
+            raw = vwin_ref[s].astype(jnp.float32)
+            if val3:
+                vld = (raw > 0.5).astype(jnp.float32) * not_self  # (ih, iw)
+                clip_any = jnp.maximum(clip_any, _core((raw < -0.5).astype(jnp.float32)) * not_self)
+            else:
+                vld = raw * not_self  # (ih, iw)
             cnt = _box(vld)
             cnt_safe = jnp.maximum(cnt, 1.0)
             inv_cnt = 1.0 / cnt_safe  # one divide; scale and md reuse it
@@ -817,16 +1128,16 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
             is2 = b_dem > b2
             nb2 = jnp.where(is2, b_dem, b2)
             nu2 = jnp.where(is2, u_dem, u2)
-            return (nb1, nu1, nb2, nu2, total_u + u, count + v.astype(jnp.float32))
+            return (nb1, nu1, nb2, nu2, total_u + u, count + v.astype(jnp.float32), clip_any)
 
         zero = jnp.zeros((th, tw), jnp.float32)
-        carry = (jnp.full((th, tw), neg), zero, jnp.full((th, tw), neg), zero, zero, zero)
+        carry = (jnp.full((th, tw), neg), zero, jnp.full((th, tw), neg), zero, zero, zero, zero)
         if unroll:
             for s in range(n_src):
                 carry = src_step(s, carry)
-            b1, u1, b2, u2, total_u, count = carry
+            b1, u1, b2, u2, total_u, count, clip_any = carry
         else:
-            b1, u1, b2, u2, total_u, count = jax.lax.fori_loop(0, n_src, src_step, carry)
+            b1, u1, b2, u2, total_u, count, clip_any = jax.lax.fori_loop(0, n_src, src_step, carry)
 
         keep = jnp.clip(jnp.maximum(count - 2.0, float(min_keep)), 1.0, float(n_src))
         drop = count - keep
@@ -834,17 +1145,23 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
         confidence = jnp.maximum(var_ref[...], min_var)
         cost = cost_sum / (keep * keep) / confidence
         enough = count >= float(min_keep)
-        cost_ref[...] = jnp.where(enough, cost, jnp.float32(flt_max))
+        cost_out = jnp.where(enough, cost, jnp.float32(flt_max))
+        if val3:
+            # a visible-but-unsampled source makes the pixel unevaluable
+            # (cost only — confidence keeps cost_for_disparity's semantics)
+            cost_out = jnp.where(clip_any > 0.5, jnp.float32(flt_max), cost_out)
+        cost_ref[...] = cost_out
         conf_ref[...] = jnp.where(enough, confidence, 0.0)
 
     return _kernel
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "min_keep", "flt_max", "min_var", "interpret", "unroll", "_ablate", "th", "tw"))
+    "min_keep", "flt_max", "min_var", "interpret", "unroll", "_ablate", "th", "tw",
+    "true_shape"))
 def ssd_combine(
-    sampled: jnp.ndarray,    # (N, C, H, W) channel-planar samples (bf16 ok)
-    k_valid: jnp.ndarray,    # (N, H, W) {0,1}
+    sampled: jnp.ndarray,    # (N, C, H, W); with true_shape: pre-padded (N, C, R, Wp)
+    k_valid: jnp.ndarray,    # (N, H, W) {0,1}; with true_shape: val3 (N, R, Wp)
     dst_planar: jnp.ndarray, # (C, H, W)
     variance: jnp.ndarray,   # (H, W)
     exclude_idx,             # () int
@@ -856,18 +1173,28 @@ def ssd_combine(
     _ablate: str = "",  # timing ablations only (tools/); NOT a correct kernel
     th: int | None = None,  # core tile (default K2_TILE_H/W)
     tw: int | None = None,
+    true_shape: tuple | None = None,  # (h0, w0): consume project_sample_packed
 ):
     """Bias-compensated 3x3 patch SSD across sources + drop-2-worst combine
     (cost.per_src_ssd + cost.combine_top2 semantics; Derp.cpp:104-226,
-    203-225). Returns (cost, confidence) each (H, W) float32."""
+    203-225). Returns (cost, confidence) each (H, W) float32.
+
+    With ``true_shape``, ``sampled``/``k_valid`` come straight from
+    project_sample_packed in the padded window layout (no XLA pad of the
+    big stack — it dominated this stage), and k_valid carries the 3-state
+    val3 encoding whose clipped pixels force cost to FLT_MAX in-kernel."""
     if interpret is None:
         interpret = _default_interpret()
-    n, c, h0, w0 = sampled.shape
+    n, c = sampled.shape[:2]
     th = K2_TILE_H if th is None else th
     tw = K2_TILE_W if tw is None else tw
     ih, iw = th + 16, tw + 256
+    if true_shape is not None:
+        h0, w0 = true_shape
+    else:
+        h0, w0 = sampled.shape[2], sampled.shape[3]
     grid = ((h0 + th - 1) // th, (w0 + tw - 1) // tw)
-    # Aligned leading pad (8, 128) + trailing so each (48, 512) DMA fits.
+    # Aligned leading pad (8, 128) + trailing so each (ih, iw) DMA fits.
     # The kernel's 3x3 box reads exactly ONE halo pixel past the image, and
     # the XLA path's sampling.box_sum is reflect-101 — so the innermost ring
     # of the pad mirrors the image (jnp.pad 'reflect'). Zero-padding validity
@@ -875,26 +1202,32 @@ def ssd_combine(
     # and invalidates the 4 corner pixels for EVERY source, which made
     # check_coverage reject default-FOV rigs on the TPU hot path. Beyond the
     # 1-px ring the filler is never read by any in-image pixel's box.
-    tpad_r = grid[0] * th + (ih - 8) - h0
-    tpad_c = grid[1] * tw + (iw - 128) - w0
+    r_pad = grid[0] * th + 16   # the kernel's fetch reach
+    c_pad = grid[1] * tw + 256
     ring = lambda a: [(0, 0)] * (a.ndim - 2) + [(1, 1), (1, 1)]  # noqa: E731
-    pads = [(7, tpad_r - 1), (127, tpad_c - 1)]
+    pads = [(7, r_pad - h0 - 8 - 1), (127, c_pad - w0 - 128 - 1)]
 
     def pad2(a, mode):
         a = jnp.pad(a, ring(a), mode="reflect")
         cfg = [(0, 0)] * (a.ndim - 2) + pads
         return jnp.pad(a, cfg, mode=mode) if mode != "zero" else jnp.pad(a, cfg)
 
-    samp_p = pad2(sampled, "edge")
-    val_p = pad2(k_valid, "zero")
-    dst_p = pad2(jnp.asarray(dst_planar, sampled.dtype), "edge")
+    if true_shape is not None:
+        assert sampled.shape[2:] == packed_pad_dims(h0, w0, th, tw), (
+            sampled.shape, packed_pad_dims(h0, w0, th, tw))
+        samp_p, val_p = sampled, k_valid
+    else:
+        samp_p = pad2(sampled, "edge")
+        val_p = pad2(k_valid, "zero")
+    dst_p = pad2(jnp.asarray(dst_planar, jnp.float32), "edge")
     var_p = jnp.pad(
         jnp.asarray(variance, jnp.float32),
         [(0, grid[0] * th - h0), (0, grid[1] * tw - w0)], mode="edge",
     )
 
     cost, conf = pl.pallas_call(
-        _make_ssd_combine_kernel(n, c, min_keep, flt_max, min_var, unroll, _ablate, th, tw),
+        _make_ssd_combine_kernel(n, c, min_keep, flt_max, min_var, unroll, _ablate, th, tw,
+                                 val3=true_shape is not None),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # exclude (1, 1)

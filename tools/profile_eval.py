@@ -69,6 +69,22 @@ def main():
             flt_max=float(cost_ops.FLT_MAX), min_var=float(cost_ops.MIN_VAR),
         )
 
+    # the hot path proper: packed layout (no XLA pad between the kernels)
+    def sampler_packed(d):
+        dm = jnp.broadcast_to(jnp.asarray(d, jnp.float32), (h, w))
+        return warp_pallas.project_sample_packed(
+            cctx.src_imgs_t, params, cctx.cam_dst.position, dm, rays_planar,
+            src_exact_bf16=cost_ops.SRC_QUANT_EXACT,
+        )
+
+    def k2_packed(sampled_p, val3_p):
+        return warp_pallas.ssd_combine(
+            sampled_p, val3_p, dst_planar, cctx.variance, cctx.exclude_idx,
+            min_keep=cost_ops.MIN_OVERLAPPING_CAMS - 1,
+            flt_max=float(cost_ops.FLT_MAX), min_var=float(cost_ops.MIN_VAR),
+            true_shape=(h, w),
+        )
+
     def full_eval(d):
         return cost_ops.cost_for_disparity(cctx, d)
 
@@ -93,6 +109,9 @@ def main():
     res = {"width": w, "num_src": 16}
     res["sampler_s"] = round(timed(sampler_only, disp), 4)
     res["k2_s"] = round(timed(k2_only, sampled, k_valid), 4)
+    sampled_p, val3_p = sampler_packed(disp)
+    res["sampler_packed_s"] = round(timed(sampler_packed, disp), 4)
+    res["k2_packed_s"] = round(timed(k2_packed, sampled_p, val3_p), 4)
     res["full_eval_s"] = round(timed(full_eval, disp), 4)
 
     # per-stage split of one mid-pyramid level's process_level (level != coarsest)
