@@ -66,6 +66,13 @@ FLT_MAX = jnp.finfo(jnp.float32).max
 # A/B the hi/lo path (tools/ablate_single_pass.py).
 SRC_QUANT_EXACT = True
 
+# Pixel count above which cost_for_disparity uses the packed sampler->combine
+# layout (project_sample_packed): the packed buffers' min-768-col footprint
+# and border slivers cost more than the tiny XLA pads they avoid at small
+# pyramid levels (measured ~2x at w <= 256 on v5e, ~45% faster at 2K). Both
+# paths are bit-identical (tests force 0 to cover packed at test sizes).
+PACKED_MIN_PIXELS = 512 * 384
+
 
 def quantize_src(planar: jnp.ndarray) -> jnp.ndarray:
     """Snap colors to multiples of 1/256 (exact in bf16's 8-bit significand)."""
@@ -246,18 +253,34 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
         disparity_map = jnp.broadcast_to(jnp.asarray(disparity, jnp.float32), (h, w))
         rays_planar = jnp.moveaxis(ctx.dst_rays, -1, 0)  # (3, H, W)
         params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
-        sampled_p, val3_p = warp_pallas.project_sample_packed(
+        dst_planar = jnp.moveaxis(ctx.dst_img[..., :3], -1, 0)
+        if h * w >= PACKED_MIN_PIXELS:
+            sampled_p, val3_p = warp_pallas.project_sample_packed(
+                ctx.src_imgs_t, params, ctx.cam_dst.position, disparity_map, rays_planar,
+                # producers (solver.make_level_context / parallel.sharding)
+                # quantize the stack under the same flag
+                src_exact_bf16=SRC_QUANT_EXACT,
+            )
+            return warp_pallas.ssd_combine(
+                sampled_p, val3_p, dst_planar, ctx.variance, ctx.exclude_idx,
+                min_keep=MIN_OVERLAPPING_CAMS - 1, flt_max=float(FLT_MAX),
+                min_var=float(MIN_VAR), true_shape=(h, w),
+            )
+        # small pyramid levels: the packed layout's min-768-col buffers and
+        # border slivers cost more than the (tiny) XLA pads they avoid —
+        # measured ~2x at w <= 256 on v5e; both paths are bit-identical
+        sampled, k_valid, clipped = warp_pallas.project_sample_planar_v4(
             ctx.src_imgs_t, params, ctx.cam_dst.position, disparity_map, rays_planar,
-            # producers (solver.make_level_context / parallel.sharding)
-            # quantize the stack under the same flag
             src_exact_bf16=SRC_QUANT_EXACT,
         )
-        dst_planar = jnp.moveaxis(ctx.dst_img[..., :3], -1, 0)
-        return warp_pallas.ssd_combine(
-            sampled_p, val3_p, dst_planar, ctx.variance, ctx.exclude_idx,
+        cost, confidence = warp_pallas.ssd_combine(
+            sampled, k_valid, dst_planar, ctx.variance, ctx.exclude_idx,
             min_keep=MIN_OVERLAPPING_CAMS - 1, flt_max=float(FLT_MAX),
-            min_var=float(MIN_VAR), true_shape=(h, w),
+            min_var=float(MIN_VAR),
         )
+        not_self = (jnp.arange(n) != ctx.exclude_idx).astype(clipped.dtype)
+        any_clip = jnp.max(clipped * not_self[:, None, None], axis=0) > 0
+        return jnp.where(any_clip, FLT_MAX, cost), confidence
 
     def one(cam_src, src_img):
         return per_src_ssd(pos_rays, cam_src, ctx.dst_img, src_img, disparity)

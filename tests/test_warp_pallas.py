@@ -211,3 +211,60 @@ def test_corner_pixels_covered_default_fov_rig():
         # coverage parity with the XLA path at every corner
         assert (c_pal[y, x] < 1e30) == (c_xla[y, x] < 1e30), (y, x, c_pal[y, x], c_xla[y, x])
     assert sum(c_xla[y, x] < 1e30 for (y, x) in corners) >= 1, "scene leaves no corner covered"
+
+
+def test_packed_pipeline_bit_exact(monkeypatch):
+    import jax
+    """cost_for_disparity's packed layout (project_sample_packed writing
+    straight into ssd_combine's padded windows, val3 clip folding, reflect
+    ring via slivers + reflect-1 grid padding) must be BIT-identical to the
+    plain v4 -> pad -> k2 -> any_clip composition. Production gates packed
+    behind PACKED_MIN_PIXELS; force it on at test sizes, covering exact and
+    non-exact tile multiples (all four ring/sliver regimes)."""
+    from facebook360_dep_tpu.core import camera as cam
+    from facebook360_dep_tpu.ops import cost as cost_ops
+    from facebook360_dep_tpu.ops import sampling
+    from facebook360_dep_tpu.render import synthetic
+
+    for (w, h) in ((200, 50), (256, 48)):
+        rig = synthetic.make_test_rig(num_cameras=4, resolution=(w, h), ring_radius=0.15)
+        nrig = cam.normalize_rig(rig)
+        colors, gt = synthetic.render_sphere_scene(rig, (w, h), radius=5.0, as_numpy=False)
+        stack = cost_ops.quantize_src(warp_pallas.planar_for_sampling(colors))
+        f32 = lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else jnp.asarray(a)  # noqa: E731
+        cams = jax.tree.map(f32, nrig.cameras)
+        cam0 = jax.tree.map(lambda a: a[0], cams)
+        rays_planar = jnp.moveaxis(cost_ops.dst_ray_dirs(cam0, h, w), -1, 0)
+        params = warp_pallas.pack_camera_params_traced(cams)
+        dm = jnp.nan_to_num(gt[0], nan=1e-4)
+        dst_planar = jnp.moveaxis(colors[0][..., :3], -1, 0)
+        variance = sampling.rgb_variance(colors[0])
+        kw = dict(min_keep=1, flt_max=float(cost_ops.FLT_MAX), min_var=float(cost_ops.MIN_VAR))
+
+        sampled, k_valid, clipped = warp_pallas.project_sample_planar_v4(
+            stack, params, cam0.position, dm, rays_planar, src_exact_bf16=True)
+        c_old, f_old = warp_pallas.ssd_combine(
+            sampled, k_valid, dst_planar, variance, 0, **kw)
+        not_self = (jnp.arange(4) != 0).astype(clipped.dtype)
+        any_clip = jnp.max(clipped * not_self[:, None, None], axis=0) > 0
+        c_old = jnp.where(any_clip, cost_ops.FLT_MAX, c_old)
+
+        sampled_p, val3_p = warp_pallas.project_sample_packed(
+            stack, params, cam0.position, dm, rays_planar, src_exact_bf16=True)
+        c_new, f_new = warp_pallas.ssd_combine(
+            sampled_p, val3_p, dst_planar, variance, 0, true_shape=(h, w), **kw)
+
+        co, cn = np.asarray(c_old), np.asarray(c_new)
+        fin_o = np.isfinite(co) & (co < 1e30)
+        fin_n = np.isfinite(cn) & (cn < 1e30)
+        assert (fin_o == fin_n).all(), (w, h)
+        assert (co[fin_o] == cn[fin_o]).all(), (w, h, np.abs(co[fin_o] - cn[fin_o]).max())
+        assert (np.asarray(f_old) == np.asarray(f_new)).all(), (w, h)
+        # ring parity: reflect-101 of the interior samples
+        sp_full = np.asarray(sampled_p)
+        sp = sp_full[:, :, 8:8 + h, 128:128 + w]
+        assert np.array_equal(sp, np.asarray(sampled)), (w, h)
+        assert np.array_equal(sp_full[:, :, 7, 128:128 + w], sp[:, :, 1, :]), (w, h)
+        assert np.array_equal(sp_full[:, :, 8 + h, 128:128 + w], sp[:, :, h - 2, :]), (w, h)
+        assert np.array_equal(sp_full[:, :, 8:8 + h, 127], sp[:, :, :, 1]), (w, h)
+        assert np.array_equal(sp_full[:, :, 8:8 + h, 128 + w], sp[:, :, :, w - 2]), (w, h)
