@@ -331,24 +331,35 @@ def handle_mismatches(ctx: LevelContext, cfg: SolverConfig, disparity, full_disp
         variance = ctx.src_variance[ctx.dst2src[dst_idx]]
         pos, rays = cam_dst.position, ctx.dst_rays[dst_idx]
 
-        def src_coords(cam_src):
-            return cost_ops.reproject_rays(pos, rays, cam_src, disp, (h, w))
-
-        coords, valid = jax.vmap(src_coords)(ctx.src_cams)  # (N, H, W, ...)
-        valid &= jnp.arange(n)[:, None, None] != ctx.dst2src[dst_idx]
+        not_self = jnp.arange(n)[:, None, None] != ctx.dst2src[dst_idx]
         if disp_planar is not None:
-            coords_p, (h0, w0) = warp_pallas.pad_to_tiles_nhw(coords)
-            smp, k_valid = warp_pallas.warp_sample_planar(disp_planar, coords_p)
+            # project + sample in ONE v4 launch over the 2-channel
+            # (disparity, finite-mask) stack: the projection math runs
+            # in-kernel (identical to reproject_rays/cam.sees — the parity
+            # the kernel tests pin), which skips materializing the
+            # (N, H, W, 2) coords + validity in HBM entirely (~500 MB per
+            # map at 2K x 16 src; this chip copies HBM at ~47 GB/s).
+            params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
+            rays_planar = jnp.moveaxis(rays, -1, 0)
+            smp, k_valid, _clipped = warp_pallas.project_sample_planar_v4(
+                disp_planar, params, pos, jnp.broadcast_to(disp, (h, w)), rays_planar,
+            )
             # smp is channel-planar (N, C, H, W): plane 0 = NaN-filled
-            # disparity, plane 1 = finite-mask
-            d_srcs = smp[:, 0, :h0, :w0]
-            all_finite = smp[:, 1, :h0, :w0] > 0.999
-            valids = valid & (k_valid[:, :h0, :w0] > 0.5) & all_finite & jnp.isfinite(d_srcs)
+            # disparity, plane 1 = finite-mask. Window-clipped samples are
+            # missing -> that source simply doesn't vote (k_valid = 0),
+            # matching the v1 kernel's out-of-window semantics.
+            d_srcs = smp[:, 0]
+            all_finite = smp[:, 1] > 0.999
+            valids = not_self & (k_valid > 0.5) & all_finite & jnp.isfinite(d_srcs)
         else:
+            def src_coords(cam_src):
+                return cost_ops.reproject_rays(pos, rays, cam_src, disp, (h, w))
+
+            coords, valid = jax.vmap(src_coords)(ctx.src_cams)  # (N, H, W, ...)
             d_srcs = jax.vmap(lambda c, i: sampling.bilinear_sample(full_disparity[i], c))(
                 coords, jnp.arange(n)
             )
-            valids = valid & jnp.isfinite(d_srcs)
+            valids = valid & not_self & jnp.isfinite(d_srcs)
         lo, hi = (1 - frac) * disp, (1 + frac) * disp
         is_match = valids & (d_srcs >= lo) & (d_srcs <= hi)
         is_mismatch = valids & ~is_match
