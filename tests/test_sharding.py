@@ -14,12 +14,21 @@ def test_dryrun_multichip_8():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("use_pallas", [False, True], ids=["xla", "pallas"])
-def test_sharded_matches_single_device(use_pallas):
+@pytest.mark.parametrize(
+    "use_pallas", [False, True, "packed"], ids=["xla", "pallas", "pallas-packed"]
+)
+def test_sharded_matches_single_device(use_pallas, monkeypatch):
     from facebook360_dep_tpu.core import camera as cam
     from facebook360_dep_tpu.depth import pipeline, solver
+    from facebook360_dep_tpu.ops import cost as cost_ops
     from facebook360_dep_tpu.parallel import sharding
     from facebook360_dep_tpu.render import synthetic
+
+    if use_pallas == "packed":
+        # the 2K hot path's packed sampler->combine layout under shard_map
+        # (production gates it behind PACKED_MIN_PIXELS; force at test size)
+        monkeypatch.setattr(cost_ops, "PACKED_MIN_PIXELS", 0)
+        use_pallas = True
 
     rig = synthetic.make_test_rig(num_cameras=8, resolution=(32, 24), ring_radius=0.3)
     colors, gt = synthetic.render_sphere_scene(rig, (32, 24), radius=5.0)
