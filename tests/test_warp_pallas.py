@@ -213,7 +213,7 @@ def test_corner_pixels_covered_default_fov_rig():
     assert sum(c_xla[y, x] < 1e30 for (y, x) in corners) >= 1, "scene leaves no corner covered"
 
 
-def test_packed_pipeline_bit_exact(monkeypatch):
+def test_packed_pipeline_bit_exact():
     import jax
     """cost_for_disparity's packed layout (project_sample_packed writing
     straight into ssd_combine's padded windows, val3 clip folding, reflect
@@ -226,7 +226,7 @@ def test_packed_pipeline_bit_exact(monkeypatch):
     from facebook360_dep_tpu.ops import sampling
     from facebook360_dep_tpu.render import synthetic
 
-    for (w, h) in ((200, 50), (256, 48)):
+    for (w, h) in ((200, 50), (256, 48), (208, 49)):
         rig = synthetic.make_test_rig(num_cameras=4, resolution=(w, h), ring_radius=0.15)
         nrig = cam.normalize_rig(rig)
         colors, gt = synthetic.render_sphere_scene(rig, (w, h), radius=5.0, as_numpy=False)
