@@ -753,12 +753,21 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
 V4_SRCS_PER_LAUNCH = 4
 
 
+def k2_tile_defaults(h0: int, w0: int, th: int | None = None, tw: int | None = None):
+    """ssd_combine core-tile defaults, adaptive to the image: the 512-wide
+    core's (tw+256)-wide fetch overfetches ~3x at small pyramid levels."""
+    if th is None:
+        th = K2_TILE_H
+    if tw is None:
+        tw = K2_TILE_W if w0 >= K2_TILE_W else 256
+    return th, tw
+
+
 def packed_pad_dims(h0: int, w0: int, k2_th: int | None = None, k2_tw: int | None = None):
     """Padded-buffer dims shared by project_sample_packed (writer) and
     ssd_combine (reader): leading (8, 128), image at (8+y, 128+x), sized to
     cover both v4's full-tile bulk writes and k2's window fetch reach."""
-    k2_th = K2_TILE_H if k2_th is None else k2_th
-    k2_tw = K2_TILE_W if k2_tw is None else k2_tw
+    k2_th, k2_tw = k2_tile_defaults(h0, w0, k2_th, k2_tw)
     hc = -(-h0 // V4_TILE_H) * V4_TILE_H
     wc = -(-w0 // TILE_W) * TILE_W
     r_pad = max(-(-h0 // k2_th) * k2_th + 16, hc + 16)
@@ -911,8 +920,7 @@ def project_sample_packed(
     if interpret is None:
         interpret = _default_interpret()
     th, tw = V4_TILE_H, TILE_W
-    k2_th = K2_TILE_H if k2_th is None else k2_th
-    k2_tw = K2_TILE_W if k2_tw is None else k2_tw
+    k2_th, k2_tw = k2_tile_defaults(disparity.shape[0], disparity.shape[1], k2_th, k2_tw)
     n = src_planar.shape[0]
     _, c, hs, ws = src_planar.shape
     g = V4_SRCS_PER_LAUNCH if srcs_per_launch is None else srcs_per_launch
@@ -1186,13 +1194,12 @@ def ssd_combine(
     if interpret is None:
         interpret = _default_interpret()
     n, c = sampled.shape[:2]
-    th = K2_TILE_H if th is None else th
-    tw = K2_TILE_W if tw is None else tw
-    ih, iw = th + 16, tw + 256
     if true_shape is not None:
         h0, w0 = true_shape
     else:
         h0, w0 = sampled.shape[2], sampled.shape[3]
+    th, tw = k2_tile_defaults(h0, w0, th, tw)
+    ih, iw = th + 16, tw + 256
     grid = ((h0 + th - 1) // th, (w0 + tw - 1) // tw)
     # Aligned leading pad (8, 128) + trailing so each (ih, iw) DMA fits.
     # The kernel's 3x3 box reads exactly ONE halo pixel past the image, and
