@@ -255,14 +255,14 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
         params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
         dst_planar = jnp.moveaxis(ctx.dst_img[..., :3], -1, 0)
         if h * w >= PACKED_MIN_PIXELS:
-            sampled_p, val3_p = warp_pallas.project_sample_packed(
+            sampled_p = warp_pallas.project_sample_packed(
                 ctx.src_imgs_t, params, ctx.cam_dst.position, disparity_map, rays_planar,
                 # producers (solver.make_level_context / parallel.sharding)
                 # quantize the stack under the same flag
                 src_exact_bf16=SRC_QUANT_EXACT,
             )
             return warp_pallas.ssd_combine(
-                sampled_p, val3_p, dst_planar, ctx.variance, ctx.exclude_idx,
+                sampled_p, None, dst_planar, ctx.variance, ctx.exclude_idx,
                 min_keep=MIN_OVERLAPPING_CAMS - 1, flt_max=float(FLT_MAX),
                 min_var=float(MIN_VAR), true_shape=(h, w),
             )

@@ -370,7 +370,7 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
         if packed is None:
             out_ref, valid_ref, clip_ref, win_ref, sems = rest
         else:
-            samp_any, val_any, win_ref, sems, out_s, val_s, sliver_s, wsems, ssem = rest
+            samp_any, win_ref, sems, out_s, sliver_s, wsems, ssem = rest
         n0 = pl.program_id(0) * g
         hs_pad, ws_pad = src_ref.shape[2], src_ref.shape[3]
         th, tw = disp_ref.shape
@@ -540,8 +540,13 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
             tile multiple — each as a full (8, 128)-aligned block whose
             first row/last col holds the ring and whose junk lands either in
             never-read pad or in cells the SAME tile's bulk rewrites
-            afterwards (DMA order enforced by waiting). val3 = ok - clip
-            (1 valid, -1 clipped, 0 invisible)."""
+            afterwards (DMA order enforced by waiting).
+
+            Validity is EMBEDDED in channel 0 (samples are always >= 0):
+            valid -> the sample, invisible -> -1, clipped -> -2. That drops
+            the separate validity plane's HBM write and the combine
+            kernel's validity fetch entirely (~230 MB per eval at 2K x 16
+            src on a chip that copies HBM at ~47 GB/s)."""
             h0, w0 = packed
             n_idx = n0 + gi
             i = pl.program_id(1)
@@ -552,23 +557,24 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
             dst_c = pl.multiple_of(128 + j * tw, 128)
             ilast, jlast = (h0 - 1) // th, (w0 - 1) // tw
             exact_h, exact_w = h0 % th == 0, w0 % tw == 0
-            planes = list(range(c + 1))  # c sampled channels + val3
-            for ci in range(c):
+            planes = list(range(c))
+            # channel 0 carries validity: sample (>= 0) / -1 invisible /
+            # -2 clipped; channels 1.. are zeroed at invalid pixels already
+            ch0 = jnp.where(ok_t > 0.0, outs[0], -1.0 - clip_t)
+            out_s[gi, 0] = ch0
+            for ci in range(1, c):
                 out_s[gi, ci] = outs[ci]
-            val_s[gi] = ok_t - clip_t
 
             def plane_val(ci):
-                return outs[ci] if ci < c else ok_t - clip_t
+                return ch0 if ci == 0 else outs[ci]
 
             def plane_dst(ci, rows, cols):
                 # single flat .at: a chained TransformedRef at an unaligned
                 # row offset fails Mosaic's tile-alignment proof
-                if ci < c:
-                    return samp_any.at[n_idx, ci, rows, cols]
-                return val_any.at[n_idx, rows, cols]
+                return samp_any.at[n_idx, ci, rows, cols]
 
             def plane_src(ci):
-                return out_s.at[gi, ci] if ci < c else val_s.at[gi]
+                return out_s.at[gi, ci]
 
             def sliver_rows(src_row, dst_row, local_row):
                 """(8, tw) block whose row ``local_row`` is tile row
@@ -909,13 +915,13 @@ def project_sample_packed(
     kernels (a full-HBM rewrite per cost eval — measured 41 of the combine
     stage's 43 ms at 2K x 16 src).
 
-    Returns (sampled_p (N, C, R, W_p), val3_p (N, R, W_p)) where
-    R = ceil(H/k2_th)*k2_th + 16 and W_p = ceil(W/k2_tw)*k2_tw + 256; image
-    pixel (y, x) lives at (8 + y, 128 + x), with the reflect-101 ring at
-    rows/cols 7, 8+H, 127, 128+W. val3: 1 valid, -1 clipped (visible but
-    unsampled -> the pixel's cost is unevaluable), 0 invisible. Regions
-    beyond the ring are uninitialized — by construction no in-image patch
-    reads them.
+    Returns sampled_p (N, C, R, W_p) where R = ceil(H/k2_th)*k2_th + 16 and
+    W_p = ceil(W/k2_tw)*k2_tw + 256; image pixel (y, x) lives at
+    (8 + y, 128 + x), with the reflect-101 ring at rows/cols 7, 8+H, 127,
+    128+W. Validity is embedded in channel 0 (samples are >= 0): the sample
+    when valid, -1 invisible, -2 clipped (visible but unsampled -> the
+    pixel's cost is unevaluable). Regions beyond the ring are uninitialized
+    — by construction no in-image patch reads them.
     """
     if interpret is None:
         interpret = _default_interpret()
@@ -941,7 +947,7 @@ def project_sample_packed(
     wh = min(V4_WINDOW_H, hs_pad)
     r_pad, c_pad = packed_pad_dims(h0, w0, k2_th, k2_tw)
 
-    sampled_p, val3_p = pl.pallas_call(
+    sampled_p = pl.pallas_call(
         _make_project_kernel_v4(
             ww, wh, c, hs, ws, precision, src_exact_bf16, g, "", (h0, w0)
         ),
@@ -953,22 +959,15 @@ def project_sample_packed(
             pl.BlockSpec((3, th, tw), lambda s, i, j: (0, i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, c, r_pad, c_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n, r_pad, c_pad), jnp.float32),
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((n, c, r_pad, c_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((g, c * wh, ww), src_planar.dtype),
             pltpu.SemaphoreType.DMA((g, c)),
-            pltpu.VMEM((g, c, th, tw), jnp.float32),      # out tile staging
-            pltpu.VMEM((g, th, tw), jnp.float32),         # val3 staging
-            pltpu.VMEM((g, c + 1, th, 128), jnp.float32),  # ring sliver staging
-            pltpu.SemaphoreType.DMA((g, c + 1)),          # bulk write sems
-            pltpu.SemaphoreType.DMA,                      # shared sliver sem
+            pltpu.VMEM((g, c, th, tw), jnp.float32),   # out tile staging
+            pltpu.VMEM((g, c, th, 128), jnp.float32),  # ring sliver staging
+            pltpu.SemaphoreType.DMA((g, c)),           # bulk write sems
+            pltpu.SemaphoreType.DMA,                   # shared sliver sem
         ],
         interpret=interpret,
     )(
@@ -978,7 +977,7 @@ def project_sample_packed(
         rays_p.astype(jnp.float32),
         src_planar,
     )
-    return sampled_p, val3_p
+    return sampled_p
 
 
 def pack_camera_params_traced(cams) -> jnp.ndarray:
@@ -1037,10 +1036,12 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
                              unroll: bool = False, ablate: str = "",
                              th: int = None, tw: int = None,
                              val3: bool = False):
-    """``val3``: validity plane carries project_sample_packed's 3-state
-    encoding (1 valid, -1 clipped, 0 invisible); clipped pixels force the
-    whole cost to FLT_MAX in-kernel (cost.cost_for_disparity's any_clip
-    guard, folded here so the clipped stack never round-trips HBM)."""
+    """``val3``: validity is embedded in the sampled stack's channel 0
+    (project_sample_packed: sample >= 0 when valid, -1 invisible,
+    -2 clipped) — no separate validity plane is fetched, and clipped pixels
+    force the whole cost to FLT_MAX in-kernel (cost.cost_for_disparity's
+    any_clip guard, folded here so neither the validity nor the clipped
+    stack ever round-trips HBM)."""
     th = K2_TILE_H if th is None else th
     tw = K2_TILE_W if tw is None else tw
     ih, iw = th + 16, tw + 256
@@ -1058,8 +1059,14 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
             rows = x[8 - 1:8 - 1 + th] + x[8:8 + th] + x[8 + 1:8 + 1 + th]
             return rows[:, 128 - 1:128 - 1 + tw] + rows[:, 128:128 + tw] + rows[:, 128 + 1:128 + 1 + tw]
 
-    def _kernel(exclude_ref, samp_hbm, val_hbm, dst_hbm, var_ref,
-                cost_ref, conf_ref, swin_ref, vwin_ref, dwin_ref, sems):
+    def _kernel(*refs):
+        if val3:
+            (exclude_ref, samp_hbm, dst_hbm, var_ref,
+             cost_ref, conf_ref, swin_ref, dwin_ref, sems) = refs
+            vwin_ref = None
+        else:
+            (exclude_ref, samp_hbm, val_hbm, dst_hbm, var_ref,
+             cost_ref, conf_ref, swin_ref, vwin_ref, dwin_ref, sems) = refs
         i = pl.program_id(0)
         j = pl.program_id(1)
         row0 = pl.multiple_of(i * th, 8)
@@ -1069,10 +1076,11 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
             pltpu.make_async_copy(
                 samp_hbm.at[:, :, pl.ds(row0, ih), pl.ds(col0, iw)], swin_ref, sems.at[0]),
             pltpu.make_async_copy(
-                val_hbm.at[:, pl.ds(row0, ih), pl.ds(col0, iw)], vwin_ref, sems.at[1]),
-            pltpu.make_async_copy(
                 dst_hbm.at[:, pl.ds(row0, ih), pl.ds(col0, iw)], dwin_ref, sems.at[2]),
-        ] if ablate != "no_dma" else []
+        ] + ([] if val3 else [
+            pltpu.make_async_copy(
+                val_hbm.at[:, pl.ds(row0, ih), pl.ds(col0, iw)], vwin_ref, sems.at[1]),
+        ]) if ablate != "no_dma" else []
         for cp in cps:
             cp.start()
         for cp in cps:
@@ -1101,12 +1109,13 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
         def src_step(s, carry):
             b1, u1, b2, u2, total_u, count, clip_any = carry
             not_self = (exclude_ref[0, 0] != s).astype(jnp.float32)
-            raw = vwin_ref[s].astype(jnp.float32)
             if val3:
-                vld = (raw > 0.5).astype(jnp.float32) * not_self  # (ih, iw)
-                clip_any = jnp.maximum(clip_any, _core((raw < -0.5).astype(jnp.float32)) * not_self)
+                raw0 = swin_ref[s, 0].astype(jnp.float32)  # sample or -1/-2
+                vld = (raw0 >= 0.0).astype(jnp.float32) * not_self  # (ih, iw)
+                clip_any = jnp.maximum(
+                    clip_any, _core((raw0 < -1.5).astype(jnp.float32)) * not_self)
             else:
-                vld = raw * not_self  # (ih, iw)
+                vld = vwin_ref[s].astype(jnp.float32) * not_self  # (ih, iw)
             cnt = _box(vld)
             cnt_safe = jnp.maximum(cnt, 1.0)
             inv_cnt = 1.0 / cnt_safe  # one divide; scale and md reuse it
@@ -1169,7 +1178,7 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
     "true_shape"))
 def ssd_combine(
     sampled: jnp.ndarray,    # (N, C, H, W); with true_shape: pre-padded (N, C, R, Wp)
-    k_valid: jnp.ndarray,    # (N, H, W) {0,1}; with true_shape: val3 (N, R, Wp)
+    k_valid: jnp.ndarray | None,  # (N, H, W) {0,1}; None with true_shape (embedded)
     dst_planar: jnp.ndarray, # (C, H, W)
     variance: jnp.ndarray,   # (H, W)
     exclude_idx,             # () int
@@ -1187,10 +1196,11 @@ def ssd_combine(
     (cost.per_src_ssd + cost.combine_top2 semantics; Derp.cpp:104-226,
     203-225). Returns (cost, confidence) each (H, W) float32.
 
-    With ``true_shape``, ``sampled``/``k_valid`` come straight from
+    With ``true_shape``, ``sampled`` comes straight from
     project_sample_packed in the padded window layout (no XLA pad of the
-    big stack — it dominated this stage), and k_valid carries the 3-state
-    val3 encoding whose clipped pixels force cost to FLT_MAX in-kernel."""
+    big stack — it dominated this stage) with validity EMBEDDED in channel
+    0 (sample >= 0 / -1 invisible / -2 clipped; no separate plane is
+    fetched), and clipped pixels force cost to FLT_MAX in-kernel."""
     if interpret is None:
         interpret = _default_interpret()
     n, c = sampled.shape[:2]
@@ -1219,10 +1229,12 @@ def ssd_combine(
         cfg = [(0, 0)] * (a.ndim - 2) + pads
         return jnp.pad(a, cfg, mode=mode) if mode != "zero" else jnp.pad(a, cfg)
 
-    if true_shape is not None:
+    packed = true_shape is not None
+    if packed:
         assert sampled.shape[2:] == packed_pad_dims(h0, w0, th, tw), (
             sampled.shape, packed_pad_dims(h0, w0, th, tw))
-        samp_p, val_p = sampled, k_valid
+        assert k_valid is None, "packed mode embeds validity in channel 0"
+        samp_p, val_p = sampled, None
     else:
         samp_p = pad2(sampled, "edge")
         val_p = pad2(k_valid, "zero")
@@ -1232,17 +1244,24 @@ def ssd_combine(
         [(0, grid[0] * th - h0), (0, grid[1] * tw - w0)], mode="edge",
     )
 
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), any_spec]  # exclude, sampled
+    operands = [jnp.asarray(exclude_idx, jnp.int32).reshape(1, 1), samp_p]
+    scratch = [pltpu.VMEM((n, c, ih, iw), samp_p.dtype)]
+    if not packed:
+        in_specs.append(any_spec)           # separate validity plane
+        operands.append(val_p)
+        scratch.append(pltpu.VMEM((n, ih, iw), val_p.dtype))
+    in_specs += [any_spec,                  # dst color
+                 pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)]
+    operands += [dst_p, var_p]
+    scratch += [pltpu.VMEM((c, ih, iw), dst_p.dtype), pltpu.SemaphoreType.DMA((3,))]
+
     cost, conf = pl.pallas_call(
         _make_ssd_combine_kernel(n, c, min_keep, flt_max, min_var, unroll, _ablate, th, tw,
-                                 val3=true_shape is not None),
+                                 val3=packed),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # exclude (1, 1)
-            pl.BlockSpec(memory_space=pl.ANY),      # sampled
-            pl.BlockSpec(memory_space=pl.ANY),      # valid
-            pl.BlockSpec(memory_space=pl.ANY),      # dst color
-            pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
@@ -1251,20 +1270,9 @@ def ssd_combine(
             jax.ShapeDtypeStruct((grid[0] * th, grid[1] * tw), jnp.float32),
             jax.ShapeDtypeStruct((grid[0] * th, grid[1] * tw), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((n, c, ih, iw), samp_p.dtype),
-            pltpu.VMEM((n, ih, iw), val_p.dtype),
-            pltpu.VMEM((c, ih, iw), dst_p.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(
-        jnp.asarray(exclude_idx, jnp.int32).reshape(1, 1),
-        samp_p,
-        val_p,
-        dst_p,
-        var_p,
-    )
+    )(*operands)
     return cost[:h0, :w0], conf[:h0, :w0]
 
 

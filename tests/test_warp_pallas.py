@@ -249,10 +249,10 @@ def test_packed_pipeline_bit_exact():
         any_clip = jnp.max(clipped * not_self[:, None, None], axis=0) > 0
         c_old = jnp.where(any_clip, cost_ops.FLT_MAX, c_old)
 
-        sampled_p, val3_p = warp_pallas.project_sample_packed(
+        sampled_p = warp_pallas.project_sample_packed(
             stack, params, cam0.position, dm, rays_planar, src_exact_bf16=True)
         c_new, f_new = warp_pallas.ssd_combine(
-            sampled_p, val3_p, dst_planar, variance, 0, true_shape=(h, w), **kw)
+            sampled_p, None, dst_planar, variance, 0, true_shape=(h, w), **kw)
 
         co, cn = np.asarray(c_old), np.asarray(c_new)
         fin_o = np.isfinite(co) & (co < 1e30)
@@ -260,11 +260,20 @@ def test_packed_pipeline_bit_exact():
         assert (fin_o == fin_n).all(), (w, h)
         assert (co[fin_o] == cn[fin_o]).all(), (w, h, np.abs(co[fin_o] - cn[fin_o]).max())
         assert (np.asarray(f_old) == np.asarray(f_new)).all(), (w, h)
-        # ring parity: reflect-101 of the interior samples
+        # ring parity: reflect-101 of the interior samples. Channel 0
+        # embeds validity (sample >= 0 / -1 invisible / -2 clipped), so
+        # compare the valid-masked view against the plain kernel's output
+        # (which zeroes invalid samples) and the flags against valid/clip.
         sp_full = np.asarray(sampled_p)
         sp = sp_full[:, :, 8:8 + h, 128:128 + w]
-        assert np.array_equal(sp, np.asarray(sampled)), (w, h)
-        assert np.array_equal(sp_full[:, :, 7, 128:128 + w], sp[:, :, 1, :]), (w, h)
-        assert np.array_equal(sp_full[:, :, 8 + h, 128:128 + w], sp[:, :, h - 2, :]), (w, h)
-        assert np.array_equal(sp_full[:, :, 8:8 + h, 127], sp[:, :, :, 1]), (w, h)
-        assert np.array_equal(sp_full[:, :, 8:8 + h, 128 + w], sp[:, :, :, w - 2]), (w, h)
+        sp_masked = np.where(sp[:, 0:1] >= 0, sp, 0.0)
+        assert np.array_equal(sp_masked, np.asarray(sampled)), (w, h)
+        kv, cl = np.asarray(k_valid), np.asarray(clipped)
+        assert np.array_equal(sp[:, 0] >= 0, kv > 0.5), (w, h)
+        assert np.array_equal(sp[:, 0] < -1.5, cl > 0.5), (w, h)
+        ring = np.where(sp_full[:, 0:1] >= 0, sp_full, 0.0)
+        spm = sp_masked
+        assert np.array_equal(ring[:, :, 7, 128:128 + w], spm[:, :, 1, :]), (w, h)
+        assert np.array_equal(ring[:, :, 8 + h, 128:128 + w], spm[:, :, h - 2, :]), (w, h)
+        assert np.array_equal(ring[:, :, 8:8 + h, 127], spm[:, :, :, 1]), (w, h)
+        assert np.array_equal(ring[:, :, 8:8 + h, 128 + w], spm[:, :, :, w - 2]), (w, h)
