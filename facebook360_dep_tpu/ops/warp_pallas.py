@@ -24,8 +24,21 @@ This kernel exploits that structure:
      exactly that way.
 
 Turning the gather into dense DMA + matmul moves the op from the gather
-unit to the MXU. Grid = (source, channel, tile row, tile col): all sources
-and channels stream through one compiled kernel body.
+unit to the MXU.
+
+Three kernels live here:
+
+- ``warp_sample_planar`` (v1): the general API — caller-supplied warp
+  coordinates, any source stack. Useful for arbitrary warps; no longer on
+  the depth hot path.
+- ``project_sample_planar_v4`` / ``project_sample_packed``: the hot path —
+  the plane-sweep projection math runs IN-kernel from (disparity, rays), so
+  warp fields never touch HBM. The packed variant writes its output straight
+  into ssd_combine's padded window layout with validity embedded in channel
+  0 (no separate valid/clip planes, no XLA pad between the kernels — on this
+  chip every full-HBM rewrite costs ~25-40 ms).
+- ``ssd_combine`` (k2): bias-compensated 3x3 patch SSDs + drop-2-worst
+  combine, consuming either layout.
 """
 
 from __future__ import annotations
