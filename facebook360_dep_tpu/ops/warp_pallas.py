@@ -385,6 +385,8 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
         else:
             samp_any, win_ref, sems, out_s, sliver_s, wsems, ssem = rest
         n0 = pl.program_id(0) * g
+        grid_i = pl.program_id(1)
+        grid_j = pl.program_id(2)
         hs_pad, ws_pad = src_ref.shape[2], src_ref.shape[3]
         th, tw = disp_ref.shape
         p = th * tw
@@ -477,13 +479,19 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
             oy = jnp.clip(ymin.astype(jnp.int32) // 8, 0, max((hs_pad - wh) // 8, 0)) * 8
             ox = pl.multiple_of(ox, 128)
             oy = pl.multiple_of(oy, 8)
-            # one DMA per channel into the stacked (C*WH, WW) window
-            # one DMA per channel into the stacked (C*WH, WW) window.
+            # One DMA per channel into the stacked (C*WH, WW) window.
             # (measured on v5e: a single 3-D (C, WH, WW) copy into a
             # (g, c, wh, ww) scratch was ~2 ms SLOWER at 2K x 16 src — the
             # DMA cost here is per-(8,128)-tile processing, not descriptor
             # count, and the value-level reshape the 3-D layout forces on
-            # the matmul LHS costs a relayout)
+            # the matmul LHS costs a relayout.)
+            #
+            # A source that sees NO pixel of this tile (outward-facing 360
+            # rigs: each dst pixel is typically seen by a handful of the N
+            # sources) skips its DMA and its whole pass-2 contraction — the
+            # start here and the wait in pass 2 sit under the same
+            # predicate, so the semaphore pairing holds. Ablation modes
+            # keep the unconditional shape for stable timing splits.
             copies = [
                 pltpu.make_async_copy(
                     src_ref.at[n_idx, ci, pl.ds(oy, wh), pl.ds(ox, ww)],
@@ -492,8 +500,15 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
                 )
                 for ci in range(c)
             ] if ablate != "no_dma" else []
-            for cp in copies:
-                cp.start()
+            sees_tile = jnp.any(ok0)
+            if ablate:
+                for cp in copies:
+                    cp.start()
+            else:
+                @pl.when(sees_tile)
+                def _():
+                    for cp in copies:
+                        cp.start()
 
             in_win_t = (xt >= ox) & (xt <= ox + (ww - 1.0)) & (yt >= oy) & (yt <= oy + (wh - 1.0))
             ok_t = (ok0 & in_win_t).astype(jnp.float32)
@@ -507,7 +522,7 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
             if packed is None:
                 valid_ref[gi] = ok_t.astype(valid_ref.dtype)
                 clip_ref[gi] = clip_t.astype(clip_ref.dtype)
-            state.append((xt, yt, ox, oy, ok_t, clip_t, copies))
+            state.append((xt, yt, ox, oy, ok_t, clip_t, copies, sees_tile))
 
         # ---- pass 2: weights + contraction per source (DMA k+1 overlaps) --
         # Hat weights with pixels on the LANE axis (no transposes). Mosaic
@@ -562,8 +577,7 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
             src on a chip that copies HBM at ~47 GB/s)."""
             h0, w0 = packed
             n_idx = n0 + gi
-            i = pl.program_id(1)
-            j = pl.program_id(2)
+            i, j = grid_i, grid_j
             # bulk/sliver destinations are aligned by construction (th % 8 ==
             # tw % 128 == 0) but Mosaic can't prove it through program_id
             dst_r = pl.multiple_of(8 + i * th, 8)
@@ -701,66 +715,83 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
                 emit_packed(gi, outs, ok_t, clip_t)
 
         for gi in range(g):
-            xt, yt, ox, oy, ok_t, clip_t, copies = state[gi]
+            xt, yt, ox, oy, ok_t, clip_t, copies, sees_tile = state[gi]
             if ablate == "proj_only":
                 for cp in copies:
                     cp.wait()
                 emit(gi, [jnp.zeros((th, tw), jnp.float32)] * c, ok_t, clip_t)
                 continue
-            lxr = jnp.clip(xt - ox.astype(jnp.float32), 0.0, ww - 1.0).reshape(1, p)
-            lyr = jnp.clip(yt - oy.astype(jnp.float32), 0.0, wh - 1.0).reshape(1, p)
-            lxr = jnp.round(lxr * 256.0) * (1.0 / 256.0)
-            lyr = jnp.round(lyr * 256.0) * (1.0 / 256.0)
-            if ablate == "ones_wx":
-                wxT = jnp.broadcast_to(lxr * (1.0 / ww), (ww, p))
-            else:
-                wxT = jnp.maximum(1.0 - jnp.abs(lxr - jx), 0.0)  # (WW, P), bf16-exact
-            # (an explicit wxT.astype(bfloat16) to halve the weight matrix's
-            # VMEM traffic measured ~4 ms SLOWER: Mosaic already folds the
-            # f32->bf16 conversion into the MXU operand stream, so the cast
-            # only adds a materialization pass)
-            wyT = jnp.maximum(1.0 - jnp.abs(lyr - jy), 0.0)  # (WH, P), bf16-exact
 
-            for cp in copies:
-                cp.wait()
+            def contract(gi=gi, xt=xt, yt=yt, ox=ox, oy=oy, ok_t=ok_t,
+                         clip_t=clip_t, copies=copies):
+                lxr = jnp.clip(xt - ox.astype(jnp.float32), 0.0, ww - 1.0).reshape(1, p)
+                lyr = jnp.clip(yt - oy.astype(jnp.float32), 0.0, wh - 1.0).reshape(1, p)
+                lxr = jnp.round(lxr * 256.0) * (1.0 / 256.0)
+                lyr = jnp.round(lyr * 256.0) * (1.0 / 256.0)
+                if ablate == "ones_wx":
+                    wxT = jnp.broadcast_to(lxr * (1.0 / ww), (ww, p))
+                else:
+                    wxT = jnp.maximum(1.0 - jnp.abs(lxr - jx), 0.0)  # (WW, P), bf16-exact
+                # (an explicit wxT.astype(bfloat16) to halve the weight
+                # matrix's VMEM traffic measured ~4 ms SLOWER: Mosaic already
+                # folds the f32->bf16 conversion into the MXU operand stream,
+                # so the cast only adds a materialization pass)
+                wyT = jnp.maximum(1.0 - jnp.abs(lyr - jy), 0.0)  # (WH, P), bf16-exact
 
-            def xdot(lhs, rhs):
-                return jax.lax.dot_general(
-                    lhs, rhs, (((1,), (0,)), ((), ())),
-                    precision=precision, preferred_element_type=jnp.float32,
-                )
+                for cp in copies:
+                    cp.wait()
 
-            if ablate == "skip_dot":
-                tmp = jnp.broadcast_to(wxT[:1].astype(jnp.float32) * wyT[:1], (c * wh, p))
-            elif src_exact_bf16:
-                # sources quantized to k/256 at upload (cost.quantize_src):
-                # every window value is exactly bf16-representable, and
-                # (8-bit) x (8-bit) products fit f32 exactly — ONE
-                # contraction, no hi/lo split.
-                tmp = xdot(win_ref[gi][...], wxT)
-            else:
-                win = win_ref[gi].astype(jnp.float32)  # (C*WH, WW)
-                win_hi = win.astype(jnp.bfloat16).astype(jnp.float32)
-                win_lo = win - win_hi
-                tmp = xdot(win_hi, wxT) + xdot(win_lo, wxT)  # (C*WH, P)
-            okr = ok_t.reshape(1, p)
-            outs = []
-            for ci in range(c):
-                if ablate == "skip_fold":
-                    outs.append((tmp[ci * wh:ci * wh + 1] * okr).reshape(th, tw))
-                    continue
-                rows = tmp[ci * wh:(ci + 1) * wh] * wyT  # (WH, P) f32 on the VPU
-                if pow2 != wh:
-                    rows = jnp.concatenate(
-                        [rows, jnp.zeros((pow2 - wh, p), jnp.float32)], axis=0
+                def xdot(lhs, rhs):
+                    return jax.lax.dot_general(
+                        lhs, rhs, (((1,), (0,)), ((), ())),
+                        precision=precision, preferred_element_type=jnp.float32,
                     )
-                n_rows = pow2
-                while n_rows > 1:
-                    half = n_rows // 2
-                    rows = rows[:half] + rows[half:2 * half]
-                    n_rows = half
-                outs.append((rows * okr).reshape(th, tw))
-            emit(gi, outs, ok_t, clip_t)
+
+                if ablate == "skip_dot":
+                    tmp = jnp.broadcast_to(wxT[:1].astype(jnp.float32) * wyT[:1], (c * wh, p))
+                elif src_exact_bf16:
+                    # sources quantized to k/256 at upload (cost.quantize_src):
+                    # every window value is exactly bf16-representable, and
+                    # (8-bit) x (8-bit) products fit f32 exactly — ONE
+                    # contraction, no hi/lo split.
+                    tmp = xdot(win_ref[gi][...], wxT)
+                else:
+                    win = win_ref[gi].astype(jnp.float32)  # (C*WH, WW)
+                    win_hi = win.astype(jnp.bfloat16).astype(jnp.float32)
+                    win_lo = win - win_hi
+                    tmp = xdot(win_hi, wxT) + xdot(win_lo, wxT)  # (C*WH, P)
+                okr = ok_t.reshape(1, p)
+                outs = []
+                for ci in range(c):
+                    if ablate == "skip_fold":
+                        outs.append((tmp[ci * wh:ci * wh + 1] * okr).reshape(th, tw))
+                        continue
+                    rows = tmp[ci * wh:(ci + 1) * wh] * wyT  # (WH, P) f32 on the VPU
+                    if pow2 != wh:
+                        rows = jnp.concatenate(
+                            [rows, jnp.zeros((pow2 - wh, p), jnp.float32)], axis=0
+                        )
+                    n_rows = pow2
+                    while n_rows > 1:
+                        half = n_rows // 2
+                        rows = rows[:half] + rows[half:2 * half]
+                        n_rows = half
+                    outs.append((rows * okr).reshape(th, tw))
+                emit(gi, outs, ok_t, clip_t)
+
+            if ablate:
+                contract()
+            else:
+                # skip the weights/wait/contraction/fold for a source that
+                # sees no pixel of this tile (predicate matches the DMA
+                # start's); still write the zero samples + flags
+                @pl.when(sees_tile)
+                def _():
+                    contract()
+
+                @pl.when(jnp.logical_not(sees_tile))
+                def _():
+                    emit(gi, [jnp.zeros((th, tw), jnp.float32)] * c, ok_t, clip_t)
 
     return _kernel
 

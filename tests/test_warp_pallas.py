@@ -226,8 +226,25 @@ def test_packed_pipeline_bit_exact():
     from facebook360_dep_tpu.ops import sampling
     from facebook360_dep_tpu.render import synthetic
 
-    for (w, h) in ((200, 50), (256, 48), (208, 49)):
-        rig = synthetic.make_test_rig(num_cameras=4, resolution=(w, h), ring_radius=0.15)
+    def outward_ring(w, h, n=4):
+        # radially outward-facing ring: most (source, tile) pairs are
+        # invisible, exercising the kernel's sees_tile skip branch
+        cams, ids = [], []
+        for k in range(n):
+            a = 2 * np.pi * k / n
+            fwd = np.array([np.cos(a), np.sin(a), 0.0])
+            up = np.array([0.0, 0.0, 1.0])
+            rot = np.stack([np.cross(up, fwd), up, -fwd], axis=0)
+            cams.append(cam.make_camera(
+                type_code=cam.RECTILINEAR, position=[0.15 * fwd[0], 0.15 * fwd[1], 0.0],
+                rotation=rot, resolution=[w, h], focal=[0.45 * w, -0.45 * w]))
+            ids.append(f"cam{k}")
+        return cam.Rig(cameras=cam.stack_cameras(cams), ids=tuple(ids), groups=("",) * n)
+
+    for case, (w, h) in enumerate(((200, 50), (256, 48), (208, 49), (200, 50))):
+        outward = case == 3
+        rig = (outward_ring(w, h) if outward
+               else synthetic.make_test_rig(num_cameras=4, resolution=(w, h), ring_radius=0.15))
         nrig = cam.normalize_rig(rig)
         colors, gt = synthetic.render_sphere_scene(rig, (w, h), radius=5.0, as_numpy=False)
         stack = cost_ops.quantize_src(warp_pallas.planar_for_sampling(colors))
