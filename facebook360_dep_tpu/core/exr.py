@@ -1,14 +1,17 @@
-"""Minimal OpenEXR 2.0 scanline codec (NO_COMPRESSION / ZIPS / ZIP, float32+half).
+"""Minimal OpenEXR 2.0 codec (scanline + single-level tiled; NONE / ZIPS /
+ZIP / PIZ compression; float32 + half channels).
 
 The reference writes EXR disparity maps via OpenCV (`PyramidLevel::saveResults`
 ``output_formats exr``, `util/CvUtil.cpp:31-35`); OpenCV's default EXR encoder
 emits ZIP-compressed scanline blocks, so the reader here handles ZIP (16
 scanlines/chunk) and ZIPS (1 scanline/chunk) plus uncompressed, with FLOAT and
-HALF channels. The writer emits single-part scanline images, FLOAT channels,
-INCREASING_Y, either NO_COMPRESSION or ZIP — both readable by OpenCV/OpenEXR.
+HALF channels. Real-capture tooling commonly defaults to PIZ (wavelet +
+Huffman, 32 scanlines/chunk) and sometimes writes tiled files, so the reader
+also decodes PIZ chunks (via the native codec in ``stream/_native/piz.cpp``)
+and single-level (ONE_LEVEL) tiled images in any of those compressions.
 
-This environment's OpenCV/imageio builds carry no EXR plugin, so the subset
-the pipeline needs is implemented directly.
+The writer emits single-part scanline images, FLOAT channels, INCREASING_Y,
+NO_COMPRESSION / ZIP / PIZ — all readable by OpenCV/OpenEXR.
 """
 
 from __future__ import annotations
@@ -20,13 +23,20 @@ import numpy as np
 
 MAGIC = 20000630
 VERSION = 2
+_TILED_BIT = 0x200
 
 # compression enum (OpenEXR ImfCompression.h)
 NO_COMPRESSION = 0
 ZIPS_COMPRESSION = 2  # 1 scanline per chunk
 ZIP_COMPRESSION = 3  # 16 scanlines per chunk
+PIZ_COMPRESSION = 4  # 32 scanlines per chunk (wavelet + Huffman)
 
-_LINES_PER_CHUNK = {NO_COMPRESSION: 1, ZIPS_COMPRESSION: 1, ZIP_COMPRESSION: 16}
+_LINES_PER_CHUNK = {
+    NO_COMPRESSION: 1,
+    ZIPS_COMPRESSION: 1,
+    ZIP_COMPRESSION: 16,
+    PIZ_COMPRESSION: 32,
+}
 # channel pixel types (ImfPixelType.h): 0=UINT, 1=HALF, 2=FLOAT
 _PIXEL_DTYPE = {1: np.float16, 2: np.float32}
 
@@ -70,11 +80,27 @@ def _zip_unpredict_deinterleave(filt: bytes, n: int) -> bytes:
     return out.tobytes()
 
 
+def _piz_sizes(channels):
+    """u16 units per pixel for each channel (HALF=1, FLOAT=2)."""
+    return [np.dtype(dt).itemsize // 2 for _, dt in channels]
+
+
+def _encode_chunk_piz(channels, rows_by_channel, w, ny) -> bytes:
+    """Channel-major rows -> PIZ payload (falls back to caller if larger)."""
+    from ..stream import native
+
+    planes = np.concatenate([
+        np.ascontiguousarray(rows).view(np.uint16).ravel() for rows in rows_by_channel
+    ])
+    return native.piz_compress(planes, w, ny, _piz_sizes(channels))
+
+
 def write_exr(path, img: np.ndarray, compression: str = "none") -> None:
     """Write (H, W) or (H, W, 3) float32 as a scanline EXR.
 
     compression: "none" (OpenCV-readable, also what this codec historically
-    wrote) or "zip" (what OpenCV itself writes by default).
+    wrote), "zip" (what OpenCV itself writes by default), "zips", or "piz"
+    (OpenEXR wavelet + Huffman — the common capture-tooling default).
     """
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
@@ -85,7 +111,12 @@ def write_exr(path, img: np.ndarray, compression: str = "none") -> None:
         raise ValueError(f"unsupported shape {img.shape}")
     h, w = img.shape[:2]
     names = sorted(channels)
-    comp = {"none": NO_COMPRESSION, "zip": ZIP_COMPRESSION, "zips": ZIPS_COMPRESSION}[compression]
+    comp = {
+        "none": NO_COMPRESSION,
+        "zip": ZIP_COMPRESSION,
+        "zips": ZIPS_COMPRESSION,
+        "piz": PIZ_COMPRESSION,
+    }[compression]
     lines_per_chunk = _LINES_PER_CHUNK[comp]
 
     header = b""
@@ -102,6 +133,7 @@ def write_exr(path, img: np.ndarray, compression: str = "none") -> None:
 
     preamble = struct.pack("<ii", MAGIC, VERSION) + header
     num_chunks = (h + lines_per_chunk - 1) // lines_per_chunk
+    chan_dts = [(n, np.float32) for n in names]
 
     chunks = []
     for c in range(num_chunks):
@@ -113,7 +145,12 @@ def write_exr(path, img: np.ndarray, compression: str = "none") -> None:
             for n in names
         )
         data = raw
-        if comp != NO_COMPRESSION:
+        if comp == PIZ_COMPRESSION:
+            z = _encode_chunk_piz(
+                chan_dts, [channels[n][y0 : y0 + ny] for n in names], w, ny
+            )
+            data = z if len(z) < len(raw) else raw
+        elif comp != NO_COMPRESSION:
             z = zlib.compress(_zip_predict_interleave(raw))
             # OpenEXR stores raw if compression does not shrink the chunk
             data = z if len(z) < len(raw) else raw
@@ -130,20 +167,57 @@ def write_exr(path, img: np.ndarray, compression: str = "none") -> None:
             f.write(data)
 
 
+def _fill_chunk(planes, channels, compression, data, x0, y0, w, ny):
+    """Decode one chunk's payload into the channel planes.
+
+    ``(x0, y0)`` is the chunk's top-left in plane coordinates; ``w`` its
+    pixel width (tile width for tiled files), ``ny`` its scanline count.
+    """
+    raw_size = ny * w * sum(np.dtype(dt).itemsize for _, dt in channels)
+    if len(data) < raw_size:  # compressed (OpenEXR stores raw when not smaller)
+        if compression == PIZ_COMPRESSION:
+            from ..stream import native
+
+            sizes = _piz_sizes(channels)
+            planes16 = native.piz_uncompress(data, w, ny, sizes)
+            off = 0
+            for (n, dt), sz in zip(channels, sizes):
+                cnt = ny * w * sz
+                arr = np.frombuffer(planes16[off : off + cnt].tobytes(), dt)
+                planes[n][y0 : y0 + ny, x0 : x0 + w] = arr.reshape(ny, w).astype(np.float32)
+                off += cnt
+            return
+        data = _zip_unpredict_deinterleave(zlib.decompress(data), raw_size)
+    # per-scanline interleaved: for each row, each channel's row in order
+    dp = 0
+    for dy in range(ny):
+        for n, dt in channels:
+            planes[n][y0 + dy, x0 : x0 + w] = np.frombuffer(data, dt, w, dp).astype(np.float32)
+            dp += w * np.dtype(dt).itemsize
+
+
 def read_exr(path) -> np.ndarray:
-    """Read a FLOAT/HALF scanline EXR (none/ZIP/ZIPS compression) ->
-    (H, W) or (H, W, 3) float32."""
+    """Read a FLOAT/HALF EXR -> (H, W) or (H, W, 3) float32.
+
+    Supports single-part scanline and ONE_LEVEL tiled images with
+    none/ZIP/ZIPS/PIZ compression (the set OpenCV-written and common
+    capture-tool EXRs use)."""
     with open(path, "rb") as f:
         buf = f.read()
     magic, version = struct.unpack_from("<ii", buf, 0)
     if magic != MAGIC:
         raise ValueError(f"not an EXR file: {path}")
-    if version & 0x200:
-        raise NotImplementedError("tiled EXRs not supported")
+    if version & ~(0xFF | _TILED_BIT):
+        raise NotImplementedError(
+            "multi-part / deep EXRs not supported (single-part scanline or "
+            "ONE_LEVEL tiled, none/ZIP/ZIPS/PIZ only)"
+        )
+    tiled = bool(version & _TILED_BIT)
     pos = 8
     channels = []  # (name, dtype) in file (=alphabetical) order
     data_window = None
     compression = None
+    tile_desc = None
     while buf[pos] != 0:
         name_end = buf.index(b"\x00", pos)
         name = buf[pos:name_end].decode()
@@ -168,32 +242,51 @@ def read_exr(path) -> np.ndarray:
             data_window = struct.unpack("<iiii", payload)
         elif name == "compression":
             compression = payload[0]
+        elif name == "tiles":
+            tx, ty, mode = struct.unpack_from("<iiB", payload, 0)
+            tile_desc = (tx, ty, mode)
     pos += 1  # header terminator
     if compression not in _LINES_PER_CHUNK:
-        raise NotImplementedError(f"unsupported compression {compression}")
-    lines_per_chunk = _LINES_PER_CHUNK[compression]
+        raise NotImplementedError(
+            f"unsupported compression {compression} (supported: none=0, "
+            "ZIPS=2, ZIP=3, PIZ=4)"
+        )
     x0, y0, x1, y1 = data_window
     w, h = x1 - x0 + 1, y1 - y0 + 1
     channels.sort(key=lambda c: c[0])
-    num_chunks = (h + lines_per_chunk - 1) // lines_per_chunk
-    pos += 8 * num_chunks  # skip the offset table
-
     planes = {n: np.empty((h, w), np.float32) for n, _ in channels}
-    for _ in range(num_chunks):
-        y, size = struct.unpack_from("<ii", buf, pos)
-        pos += 8
-        ny = min(lines_per_chunk, y1 - y + 1)
-        raw_size = ny * w * sum(np.dtype(dt).itemsize for _, dt in channels)
-        data = buf[pos : pos + size]
-        pos += size
-        if compression != NO_COMPRESSION and size < raw_size:
-            data = _zip_unpredict_deinterleave(zlib.decompress(data), raw_size)
-        dp = 0
-        for dy in range(ny):
-            for n, dt in channels:
-                nbytes = w * np.dtype(dt).itemsize
-                planes[n][y - y0 + dy] = np.frombuffer(data, dt, w, dp).astype(np.float32)
-                dp += nbytes
+
+    if tiled:
+        if tile_desc is None:
+            raise ValueError("tiled EXR without a tiles attribute")
+        tx, ty, mode = tile_desc
+        if mode & 0x0F != 0:  # level mode: 0 = ONE_LEVEL
+            raise NotImplementedError("only ONE_LEVEL tiled EXRs supported")
+        ntx = (w + tx - 1) // tx
+        nty = (h + ty - 1) // ty
+        pos += 8 * ntx * nty  # offset table
+        for _ in range(ntx * nty):
+            dx, dy, _lx, _ly, size = struct.unpack_from("<iiiii", buf, pos)
+            pos += 20
+            data = buf[pos : pos + size]
+            pos += size
+            cx, cy = dx * tx, dy * ty
+            _fill_chunk(
+                planes, channels, compression, data,
+                cx, cy, min(tx, w - cx), min(ty, h - cy),
+            )
+    else:
+        lines_per_chunk = _LINES_PER_CHUNK[compression]
+        num_chunks = (h + lines_per_chunk - 1) // lines_per_chunk
+        pos += 8 * num_chunks  # skip the offset table
+        for _ in range(num_chunks):
+            y, size = struct.unpack_from("<ii", buf, pos)
+            pos += 8
+            ny = min(lines_per_chunk, y1 - y + 1)
+            data = buf[pos : pos + size]
+            pos += size
+            _fill_chunk(planes, channels, compression, data, 0, y - y0, w, ny)
+
     names = [n for n, _ in channels]
     if names == ["Y"]:
         return planes["Y"]

@@ -10,7 +10,9 @@ expressed through channel masks; the per-pixel loops become fused image ops.
 Demosaic filters (CameraIsp.h:32-38): BILINEAR (mask-multiplied
 convolution), EDGE_AWARE (directional green + homogeneity vote + chroma
 suppression, :161-247), FREQUENCY (DCT-space Butterworth filtering of the
-zero-stuffed channel planes, :129-159).
+zero-stuffed channel planes, :129-159), CHROMA_SUPPRESSED
+(CHROMA_SUPRESSED_BILINEAR: cross-neighbor bilinear green + constant-hue
+chroma reconstruction, :227-248).
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ BAYER_OFFSETS = {
     "BGGR": {"r": (1, 1), "g": ((0, 1), (1, 0)), "b": (0, 0)},
 }
 
-DEMOSAIC_FILTERS = ("BILINEAR", "EDGE_AWARE", "FREQUENCY")
+DEMOSAIC_FILTERS = ("BILINEAR", "EDGE_AWARE", "FREQUENCY", "CHROMA_SUPPRESSED")
 
 
 @dataclass
@@ -178,6 +180,25 @@ def _chroma_suppressed(raw, green, rm, bm):
     red = green + spread(raw - green, rm)
     blue = green + spread(raw - green, bm)
     return jnp.stack([red, green, blue], axis=-1)
+
+
+def demosaic_chroma_suppressed(raw: jnp.ndarray, pattern: str) -> jnp.ndarray:
+    """CHROMA_SUPRESSED_BILINEAR demosaic (CameraIsp.h:32-38 enum, dispatch
+    :1161-1163, demosaicGreenBilinear :227-248).
+
+    Green at non-green sites is the bilinear average of the 4 cross
+    neighbors (all of which are green on a Bayer grid); R/B then finish
+    with the same constant-hue chroma-suppressed reconstruction the
+    EDGE_AWARE path uses (demosaicChromaSuppressed, :250+)."""
+    h, w = raw.shape
+    rm, gm, bm = bayer_masks(pattern, h, w)
+
+    def shift(a, dy, dx):
+        return jnp.roll(a, (-dy, -dx), (0, 1))
+
+    cross = (shift(raw, -1, 0) + shift(raw, 1, 0) + shift(raw, 0, -1) + shift(raw, 0, 1)) * 0.25
+    green = jnp.where(gm, raw, cross)
+    return _chroma_suppressed(raw, green, rm, bm)
 
 
 def demosaic_edge_aware(raw: jnp.ndarray, pattern: str, homogeneity_radius: int = 4) -> jnp.ndarray:
@@ -402,6 +423,8 @@ def process(raw: jnp.ndarray, cfg: IspConfig) -> jnp.ndarray:
         rgb = demosaic_edge_aware(raw, cfg.bayer_pattern)
     elif filt == "FREQUENCY":
         rgb = demosaic_frequency(raw, cfg.bayer_pattern)
+    elif filt in ("CHROMA_SUPPRESSED", "CHROMA_SUPRESSED_BILINEAR"):
+        rgb = demosaic_chroma_suppressed(raw, cfg.bayer_pattern)
     else:
         rgb = demosaic_bilinear(raw, cfg.bayer_pattern)
 

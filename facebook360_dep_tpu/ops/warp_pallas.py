@@ -586,8 +586,12 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
             exact_h, exact_w = h0 % th == 0, w0 % tw == 0
             planes = list(range(c))
             # channel 0 carries validity: sample (>= 0) / -1 invisible /
-            # -2 clipped; channels 1.. are zeroed at invalid pixels already
-            ch0 = jnp.where(ok_t > 0.0, outs[0], -1.0 - clip_t)
+            # -2 clipped; channels 1.. are zeroed at invalid pixels already.
+            # The clamp guards src_exact_bf16=False (A/B knob): the hi/lo
+            # split contraction can round a near-zero valid sample slightly
+            # negative, which the combine's raw0 >= 0 test would misread as
+            # invisible. With src_exact_bf16=True samples are already >= 0.
+            ch0 = jnp.where(ok_t > 0.0, jnp.maximum(outs[0], 0.0), -1.0 - clip_t)
             out_s[gi, 0] = ch0
             for ci in range(1, c):
                 out_s[gi, ci] = outs[ci]

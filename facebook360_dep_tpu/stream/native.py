@@ -62,6 +62,15 @@ def _lib() -> ctypes.CDLL:
             f32, ctypes.c_int, ctypes.c_int, ctypes.c_float, u32,
         ]
         lib.build_faces.restype = ctypes.c_int
+        u16 = ctypes.POINTER(ctypes.c_uint16)
+        lib.piz_compress.argtypes = [
+            u16, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32, u8, i32,
+        ]
+        lib.piz_compress.restype = ctypes.c_int
+        lib.piz_uncompress.argtypes = [
+            u8, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32, u16,
+        ]
+        lib.piz_uncompress.restype = ctypes.c_int
         _LIB = lib
         return lib
 
@@ -169,6 +178,47 @@ def rasterize_mesh(
         float(scale_y),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
+    return out
+
+
+def piz_compress(planes: np.ndarray, nx: int, ny: int, sizes) -> bytes:
+    """PIZ-compress channel-major u16 planes (OpenEXR wavelet + Huffman).
+
+    ``planes``: concatenated per-channel (ny, nx*size) u16 planes in file
+    channel order; ``sizes``: u16 units per pixel per channel (HALF=1,
+    FLOAT=2). Returns the PIZ chunk payload."""
+    lib = _lib()
+    planes = np.ascontiguousarray(planes, np.uint16).ravel()
+    sz = np.asarray(sizes, np.int32)
+    out = np.empty(planes.nbytes + 16384, np.uint8)
+    out_len = ctypes.c_int(0)
+    rc = lib.piz_compress(
+        planes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        int(nx), int(ny), len(sz),
+        sz.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(out_len),
+    )
+    assert rc == 0, f"piz_compress failed: {rc}"
+    return out[: out_len.value].tobytes()
+
+
+def piz_uncompress(data: bytes, nx: int, ny: int, sizes) -> np.ndarray:
+    """Inverse of `piz_compress`: PIZ payload -> concatenated channel-major
+    u16 planes. Raises ValueError on malformed input."""
+    lib = _lib()
+    buf = np.frombuffer(data, np.uint8)
+    sz = np.asarray(sizes, np.int32)
+    total = int(nx) * int(ny) * int(sz.sum())
+    out = np.empty(total, np.uint16)
+    rc = lib.piz_uncompress(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(buf), int(nx), int(ny), len(sz),
+        sz.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc != 0:
+        raise ValueError(f"malformed PIZ chunk (error {rc})")
     return out
 
 

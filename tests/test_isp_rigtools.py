@@ -30,6 +30,43 @@ def test_demosaic_gradient():
     np.testing.assert_allclose(out[2:-2, 2:-2], rgb[2:-2, 2:-2], atol=0.05)
 
 
+@pytest.mark.parametrize("pattern", ["RGGB", "GBRG"])
+def test_demosaic_chroma_suppressed(pattern):
+    """CHROMA_SUPPRESSED is a first-class selectable mode
+    (CameraIsp.h:32-38 CHROMA_SUPRESSED_BILINEAR, dispatch :1161-1163):
+    flat-field exactness, gradient fidelity, and agreement with the
+    EDGE_AWARE path's shared chroma stage on smooth content."""
+    rgb = np.zeros((16, 16, 3), np.float32)
+    rgb[...] = [0.7, 0.4, 0.2]
+    raw = isp.mosaic(rgb, pattern)
+    out = np.asarray(isp.demosaic_chroma_suppressed(raw, pattern))
+    np.testing.assert_allclose(out, rgb, atol=1e-5)
+
+    h, w = 32, 32
+    grad = np.zeros((h, w, 3), np.float32)
+    grad[..., 0] = np.linspace(0, 1, w)[None, :]
+    grad[..., 1] = 0.5
+    grad[..., 2] = np.linspace(1, 0, h)[:, None]
+    raw = isp.mosaic(grad, pattern)
+    out = np.asarray(isp.demosaic_chroma_suppressed(raw, pattern))
+    np.testing.assert_allclose(out[2:-2, 2:-2], grad[2:-2, 2:-2], atol=0.05)
+    # on smooth content the mode agrees with EDGE_AWARE (same chroma stage,
+    # near-identical green): golden cross-check of the shared helper
+    ea = np.asarray(isp.demosaic_edge_aware(raw, pattern))
+    np.testing.assert_allclose(out[2:-2, 2:-2], ea[2:-2, 2:-2], atol=0.02)
+
+
+def test_demosaic_chroma_suppressed_dispatch():
+    """IspConfig.demosaic_filter = CHROMA_SUPPRESSED routes through process()."""
+    assert "CHROMA_SUPPRESSED" in isp.DEMOSAIC_FILTERS
+    cfg = isp.IspConfig(bayer_pattern="RGGB", demosaic_filter="CHROMA_SUPPRESSED",
+                        apply_tone_curve=False)
+    rgb_in = np.full((8, 8, 3), 0.5, np.float32)
+    raw = isp.mosaic(rgb_in, "RGGB")
+    out = np.asarray(isp.process(raw, cfg))
+    np.testing.assert_allclose(out, rgb_in, atol=1e-5)
+
+
 def test_isp_process_stages():
     cfg = isp.IspConfig(
         bayer_pattern="RGGB",

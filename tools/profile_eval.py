@@ -77,9 +77,10 @@ def main():
             src_exact_bf16=cost_ops.SRC_QUANT_EXACT,
         )
 
-    def k2_packed(sampled_p, val3_p):
+    def k2_packed(sampled_p):
+        # packed mode: validity is embedded in sampled channel 0 (k_valid=None)
         return warp_pallas.ssd_combine(
-            sampled_p, val3_p, dst_planar, cctx.variance, cctx.exclude_idx,
+            sampled_p, None, dst_planar, cctx.variance, cctx.exclude_idx,
             min_keep=cost_ops.MIN_OVERLAPPING_CAMS - 1,
             flt_max=float(cost_ops.FLT_MAX), min_var=float(cost_ops.MIN_VAR),
             true_shape=(h, w),
@@ -109,9 +110,9 @@ def main():
     res = {"width": w, "num_src": 16}
     res["sampler_s"] = round(timed(sampler_only, disp), 4)
     res["k2_s"] = round(timed(k2_only, sampled, k_valid), 4)
-    sampled_p, val3_p = sampler_packed(disp)
+    sampled_p = sampler_packed(disp)
     res["sampler_packed_s"] = round(timed(sampler_packed, disp), 4)
-    res["k2_packed_s"] = round(timed(k2_packed, sampled_p, val3_p), 4)
+    res["k2_packed_s"] = round(timed(k2_packed, sampled_p), 4)
     res["full_eval_s"] = round(timed(full_eval, disp), 4)
 
     # per-stage split of one mid-pyramid level's process_level (level != coarsest)
