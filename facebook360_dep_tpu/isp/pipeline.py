@@ -193,10 +193,10 @@ def demosaic_chroma_suppressed(raw: jnp.ndarray, pattern: str) -> jnp.ndarray:
     h, w = raw.shape
     rm, gm, bm = bayer_masks(pattern, h, w)
 
-    def shift(a, dy, dx):
-        return jnp.roll(a, (-dy, -dx), (0, 1))
-
-    cross = (shift(raw, -1, 0) + shift(raw, 1, 0) + shift(raw, 0, -1) + shift(raw, 0, 1)) * 0.25
+    # reflect-padded cross average (not roll): wrap-around green at the
+    # frame edge leaks through _chroma_suppressed's window into interior rows
+    pad = jnp.pad(raw, 1, mode="reflect")
+    cross = (pad[:-2, 1:-1] + pad[2:, 1:-1] + pad[1:-1, :-2] + pad[1:-1, 2:]) * 0.25
     green = jnp.where(gm, raw, cross)
     return _chroma_suppressed(raw, green, rm, bm)
 
@@ -213,13 +213,18 @@ def demosaic_edge_aware(raw: jnp.ndarray, pattern: str, homogeneity_radius: int 
     h, w = raw.shape
     rm, gm, bm = bayer_masks(pattern, h, w)
 
-    def shift(a, dy, dx):
-        return jnp.roll(a, (-dy, -dx), (0, 1))
+    # reflect-padded shifts (not roll): wrap-around corrupts the directional
+    # green/Laplacian estimates at frame edges, and the error propagates
+    # ~homogeneity_radius columns inward through the vote + chroma spread
+    pad2 = jnp.pad(raw, 2, mode="reflect")
 
-    up, down = shift(raw, -1, 0), shift(raw, 1, 0)
-    left, right = shift(raw, 0, -1), shift(raw, 0, 1)
-    up2, down2 = shift(raw, -2, 0), shift(raw, 2, 0)
-    left2, right2 = shift(raw, 0, -2), shift(raw, 0, 2)
+    def shift(dy, dx):
+        return jax.lax.dynamic_slice(pad2, (2 + dy, 2 + dx), (h, w))
+
+    up, down = shift(-1, 0), shift(1, 0)
+    left, right = shift(0, -1), shift(0, 1)
+    up2, down2 = shift(-2, 0), shift(2, 0)
+    left2, right2 = shift(0, -2), shift(0, 2)
 
     # at green sites: identity green, activity from 2-step green diffs
     gv_g = raw
