@@ -23,7 +23,7 @@ FLT_MIN = float(np.finfo(np.float32).tiny)
 
 def convert_depth(
     camera, cam_id, disparity, bin_dir, triangles=150000, tear_ratio=0.95,
-    depth_scale=1.0, foreground_mask=None, save_obj=False,
+    depth_scale=1.0, foreground_mask=None, save_obj=False, adaptive=True,
 ):
     depth = 1.0 / disparity
     if depth_scale < 1:
@@ -34,7 +34,6 @@ def convert_depth(
         )
     h, w = depth.shape
     vertexes = mesh.get_vertexes_equi_error(depth, camera)
-    faces = mesh.get_faces(vertexes, w, h, tear_ratio=tear_ratio)
     vertex_mask = np.isfinite(depth)
     if foreground_mask is not None:
         import cv2
@@ -43,7 +42,20 @@ def convert_depth(
             foreground_mask.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
         ).astype(bool)
         vertex_mask &= fg
-    vertexes, faces = mesh.apply_mask(vertexes, faces, vertex_mask)
+    if adaptive:
+        # tiled-LOD pre-decimation (stream/adaptive.py): full res at tears
+        # and mask edges, coarse crack-free tiles on smooth surface — cuts
+        # the serial QEM stage's input ~10-100x at 2K
+        from ..stream import adaptive as adaptive_mod
+
+        z = vertexes.reshape(h, w, 3)[..., 2]
+        faces = adaptive_mod.build_adaptive_faces(
+            z, vertex_mask, tear_ratio=tear_ratio
+        )
+        vertexes, faces = mesh.apply_mask(vertexes, faces, vertex_mask)
+    else:
+        faces = mesh.get_faces(vertexes, w, h, tear_ratio=tear_ratio)
+        vertexes, faces = mesh.apply_mask(vertexes, faces, vertex_mask)
     if triangles > 0 and len(faces) > triangles:
         vertexes, faces = native.simplify_mesh(vertexes, faces, triangles, strictness=0.2)
         # slightly negative depths blow up to -inf in the viewer's inverse
@@ -97,6 +109,7 @@ def convert_one(argd: dict, camera, cam_id: str, frame: str) -> str:
             camera, cam_id, disp, args.bin,
             triangles=args.triangles, tear_ratio=args.tear_ratio,
             depth_scale=args.depth_scale, foreground_mask=fg,
+            adaptive=getattr(args, "adaptive_mesh", True),
         )
         report.append(f"{len(v)} vertices, {len(f)} faces")
         if formats & {"vtx", "idx"}:
@@ -151,6 +164,10 @@ def main(argv=None):
     p.add_argument("--last", default="000000")
     p.add_argument("--output_formats", default="vtx,idx,bc7", help="vtx,idx,pfm,obj,bc7,rgba")
     p.add_argument("--triangles", type=int, default=150000)
+    p.add_argument(
+        "--adaptive_mesh", type=lambda v: str(v).lower() in ("1", "true"), default=True,
+        help="tiled-LOD pre-decimation before QEM (full-res grid when false)",
+    )
     p.add_argument("--tear_ratio", type=float, default=0.95)
     p.add_argument("--color_scale", type=float, default=1.0)
     p.add_argument("--depth_scale", type=float, default=1.0)

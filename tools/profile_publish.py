@@ -33,12 +33,14 @@ def make_camera(w=2048, h=1536):
 
 
 def main():
+    smooth = "--smooth" in sys.argv
     w, h = 2048, 1536
     rng = np.random.default_rng(0)
     # bench-like disparity: smooth field + discontinuities (sphere-ish)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     disp = 0.05 + 0.3 / (1.0 + ((xx - w / 2) ** 2 + (yy - h / 2) ** 2) / (w / 4) ** 2)
-    disp += 0.002 * rng.standard_normal((h, w)).astype(np.float32)
+    if not smooth:
+        disp += 0.002 * rng.standard_normal((h, w)).astype(np.float32)
     disp[h // 3 : h // 3 + 40] *= 2.0  # a tear band
     depth = (1.0 / disp).astype(np.float64)
     color = np.clip(rng.random((h, w, 3), dtype=np.float32), 0, 1)
@@ -46,13 +48,24 @@ def main():
     camera = make_camera(w, h)
     t = {}
 
+    adaptive = "--full" not in sys.argv
+
     t0 = time.perf_counter()
     vertexes = mesh.get_vertexes_equi_error(depth, camera)
     t["mesh_vertexes_s"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    faces = mesh.get_faces(vertexes, w, h, tear_ratio=0.95)
-    t["mesh_faces_s"] = time.perf_counter() - t0
+    if adaptive:
+        from facebook360_dep_tpu.stream import adaptive as adaptive_mod
+
+        t0 = time.perf_counter()
+        faces = adaptive_mod.build_adaptive_faces(
+            vertexes.reshape(h, w, 3)[..., 2], np.isfinite(depth), tear_ratio=0.95
+        )
+        t["mesh_faces_s"] = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        faces = mesh.get_faces(vertexes, w, h, tear_ratio=0.95)
+        t["mesh_faces_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     vertexes2, faces2 = mesh.apply_mask(vertexes, faces, np.isfinite(depth))
