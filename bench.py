@@ -26,6 +26,7 @@ BASELINE_MEASURED.json / BASELINE.md. Falls back to the round-1/2 30 s/map
 estimate only if the measured file is missing.
 """
 
+import functools
 import json
 import os
 import sys
@@ -102,12 +103,12 @@ def main():
     colors_2k = jax.block_until_ready(colors_2k)
     log(f"{elapsed()} fixtures rendered")
 
-    def build_ctx(w, rig_dst, colors, **kw):
+    def build_ctx(w, rig_dst, colors, rig_src=None, **kw):
         h = colors.shape[1]
         fov = pipeline.generate_fov_masks(rig_dst, (h, w))
         return solver.make_level_context(
-            nrig, rig_dst, colors, fov, use_pallas_sampler=True,
-            full_height=hw(WIDTHS[0]), **kw
+            nrig if rig_src is None else rig_src, rig_dst, colors, fov,
+            use_pallas_sampler=True, full_height=hw(WIDTHS[0]), **kw
         )
 
     def _sync(out):
@@ -141,7 +142,7 @@ def main():
     # --- config 2 (headline): full coarse-to-fine pyramid, 10 levels --------
     num_levels = len(WIDTHS)
 
-    def solve_pyramid(colors_full):
+    def solve_pyramid(colors_full, rig_dst_=None, rig_src_=None):
         """Full coarse-to-fine cascade from brute-force init; returns
         (disparity stack, total seconds, per-level times, coarsest time)."""
         level_times = {}
@@ -152,7 +153,8 @@ def main():
             w = WIDTHS[level]
             h = hw(w)
             colors_l = colors_full if level == 0 else resize(colors_full, h, w)
-            ctx = build_ctx(w, dst_rig, colors_l)
+            ctx = build_ctx(w, dst_rig if rig_dst_ is None else rig_dst_, colors_l,
+                            rig_src=rig_src_)
             cfg = solver.SolverConfig(
                 min_depth=1.0, max_depth=100.0, level=level, num_levels=num_levels,
                 num_random_proposals=2, ping_pong_iterations=1,
@@ -189,12 +191,12 @@ def main():
     # see the GT point.
     from facebook360_dep_tpu.ops import cost as costmod
 
-    @jax.jit
-    def coverage(gt_d, di):
-        cdst = jax.tree.map(lambda a: a[di], nrig.cameras)
+    @functools.partial(jax.jit, static_argnames=())
+    def _coverage_for(cams, gt_d, di):
+        cdst = jax.tree.map(lambda a: a[di], cams)
 
         def one_src(si):
-            csrc = jax.tree.map(lambda a: a[si], nrig.cameras)
+            csrc = jax.tree.map(lambda a: a[si], cams)
             _, v = costmod.reproject_to_src(
                 cdst, csrc, gt_d, gt_d.shape, gt_d.shape
             )
@@ -202,6 +204,9 @@ def main():
 
         cnt = jnp.sum(jax.vmap(one_src)(jnp.arange(NUM_CAMERAS)), axis=0)
         return cnt >= 2
+
+    def coverage(gt_d, di, cams=None):
+        return _coverage_for(nrig.cameras if cams is None else cams, gt_d, di)
 
     cov = np.stack([np.asarray(coverage(gt_2k[i], i)) for i in range(BENCH_DST)])
     vc = valid & cov
@@ -286,6 +291,43 @@ def main():
         f"{elapsed()} occluder scene: {pyramid_occ_s_per_map:.3f}s/map, rel RMSE "
         f"{rmse_occ:.4f} (covered {rmse_occ_cov:.4f} over {cov_occ.mean():.1%}), "
         f"MSSIM {mssim_occ:.2f}"
+    )
+
+    # --- config 2c: outward-facing production 360 ring -----------------------
+    # the rig shape the sampler's visibility skip was built for (~80% of
+    # (source, tile) pairs mutually invisible; adjacent-camera stereo only)
+    orig_rig = synthetic.make_outward_ring_rig(
+        NUM_CAMERAS, resolution=(WIDTHS[0], hw(WIDTHS[0])), ring_radius=0.3
+    )
+    norig = cam.normalize_rig(orig_rig)
+    or_dst = cam.Rig(
+        cameras=jax.tree.map(lambda a: a[:BENCH_DST], norig.cameras),
+        ids=norig.ids[:BENCH_DST], groups=norig.groups[:BENCH_DST],
+    )
+    colors_or, gt_or = synthetic.render_sphere_scene(
+        orig_rig, (WIDTHS[0], hw(WIDTHS[0])), radius=5.0, as_numpy=False
+    )
+    colors_or = jax.block_until_ready(colors_or)
+    log(f"{elapsed()} outward-ring fixtures rendered")
+    disp_or, pyramid_or_s, _, _ = solve_pyramid(colors_or, rig_dst_=or_dst, rig_src_=norig)
+    pyramid_or_s_per_map = pyramid_or_s / BENCH_DST
+    disp_or_np = np.asarray(disp_or)
+    gt_or_np = np.asarray(gt_or[:BENCH_DST])
+    cov_or = np.stack(
+        [np.asarray(coverage(gt_or[i], i, cams=norig.cameras)) for i in range(BENCH_DST)]
+    )
+    vc_or = np.isfinite(disp_or_np) & cov_or
+    rmse_or_cov = float(
+        np.sqrt(np.mean((disp_or_np[vc_or] - gt_or_np[vc_or]) ** 2)) / np.mean(gt_or_np[vc_or])
+    )
+    rel_median_or = float(
+        np.median(np.abs(disp_or_np[vc_or] - gt_or_np[vc_or]) / gt_or_np[vc_or])
+    )
+    ctx_or = build_ctx(WIDTHS[0], or_dst, colors_or, rig_src=norig)
+    mssim_or = float(rephoto_mssim(ctx_or, jnp.nan_to_num(disp_or[0], nan=1e-4))) * 100.0
+    log(
+        f"{elapsed()} outward ring: {pyramid_or_s_per_map:.3f}s/map, covered rel RMSE "
+        f"{rmse_or_cov:.4f} over {cov_or.mean():.1%}, MSSIM {mssim_or:.2f}"
     )
 
     # --- config 1: coarse-level-only -----------------------------------------
@@ -413,6 +455,13 @@ def main():
                     "publish_s_per_frame_camera": round(t_pub, 4),
                     "publish_spread_s": round(pub_spread, 4),
                     "single_pass_sampler": bool(getattr(costmod, "SRC_QUANT_EXACT", False)),
+                    "outward_ring": {
+                        "pyramid_s_per_map": round(pyramid_or_s_per_map, 4),
+                        "disparity_rel_rmse_covered_pixels": round(rmse_or_cov, 6),
+                        "disparity_rel_median_covered": round(rel_median_or, 6),
+                        "covered_pixel_fraction": round(float(cov_or.mean()), 4),
+                        "rephoto_mssim_pct": round(mssim_or, 2),
+                    },
                     "occluder_scene": {
                         "pyramid_s_per_map": round(pyramid_occ_s_per_map, 4),
                         "disparity_rel_rmse_vs_gt": round(rmse_occ, 6),

@@ -122,6 +122,34 @@ def make_test_rig(
     return cam.Rig(cameras=cam.stack_cameras(cams), ids=tuple(ids), groups=("",) * num_cameras)
 
 
+def make_outward_ring_rig(
+    num_cameras: int = 16,
+    resolution=(64, 48),
+    focal_scale: float = 0.45,
+    ring_radius: float = 0.3,
+) -> cam.Rig:
+    """The PRODUCTION 360 rig shape: cameras on a ring facing radially
+    outward (the reference's 6DoF capture rigs, util/Camera.h rig JSONs).
+    Only adjacent cameras overlap, so ~80% of (source, dst-tile) pairs are
+    mutually invisible — the regime the sampler's visibility skip targets."""
+    w, h = resolution
+    cams, ids = [], []
+    up = np.array([0.0, 0.0, 1.0])
+    for k in range(num_cameras):
+        a = 2 * np.pi * k / num_cameras
+        fwd = np.array([np.cos(a), np.sin(a), 0.0])
+        rot = np.stack([np.cross(up, fwd), up, -fwd], axis=0)
+        cams.append(cam.make_camera(
+            type_code=cam.RECTILINEAR,
+            position=ring_radius * fwd,
+            rotation=rot,
+            resolution=[w, h],
+            focal=[focal_scale * w, -focal_scale * w],
+        ))
+        ids.append(f"cam{k}")
+    return cam.Rig(cameras=cam.stack_cameras(cams), ids=tuple(ids), groups=("",) * num_cameras)
+
+
 def ray_box_depth(origins, dirs, half_extents=(6.0, 6.0, 3.0), center=(0.0, 0.0, 0.0)):
     """Distance along each ray to the inside of an axis-aligned box
     (rays start inside; the reference's textured box/ceiling world,

@@ -1,0 +1,187 @@
+"""Reference-solver output oracle (VERDICT r3 directive #2).
+
+The cost oracle (test_cost_oracle.py) pins the repo's cost FUNCTION to the
+reference's computeCost; this test pins the repo's solver OUTPUT to the
+reference ALGORITHM: tools/ref_cpu_baseline.cpp --mini_solver is a faithful
+single-level port of brute-force init (Derp.cpp:264-383) + one Jacobi
+ping-pong pass (Derp.cpp:403-541) + masked median filter (CvUtil.h:336),
+run on IDENTICAL pixel data (uint16-quantized once, shared via raw files).
+
+Measured finding (round 4, recorded in PARITY.md): the two solvers agree
+exactly on the majority of pixels (median rel diff 0) but ~45% flip by one
+150-grid hypothesis step — the documented cost-sampling deviation (the repo
+samples raw sources directly; the reference double-interpolates through an
+INTER_CUBIC infinity-warp reprojection). On the sphere scene the repo map
+is 2.4x CLOSER to analytic ground truth than the reference's own output
+(rel RMSE 1.0% vs 2.5%), so a blind <1% map-diff bar would reject a
+strictly better solver. The contract is therefore two-part, per scene:
+
+1. AGREEMENT: rel RMSE / median rel diff vs the reference algorithm under
+   per-scene bounds ~1.5x the round-4 measurement (_BOUNDS below) —
+   catches silent whole-solver divergence (wrong probe schedule, broken
+   masking, inverted costs all blow these by an order of magnitude).
+2. DOMINANCE: the repo map's ground-truth rel RMSE must not exceed the
+   reference map's by more than 10% — deviations may never make the
+   solver WORSE than the reference on identical inputs. Measured: repo
+   is 2.4x closer to GT on the sphere and 3.4x closer on the occluder
+   room (2.2% vs 7.5%), which also settles the round-3 question whether
+   the occluder RMSE tail is a deficiency: the reference algorithm does
+   substantially worse at depth discontinuities.
+"""
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+W, H = 256, 192
+NUM_CAMS = 16
+MIN_DEPTH, MAX_DEPTH = 1.0, 100.0
+
+TOOL_SRC = os.path.join(os.path.dirname(__file__), "..", "tools", "ref_cpu_baseline.cpp")
+
+
+@pytest.fixture(scope="module")
+def tool_bin(tmp_path_factory):
+    if shutil.which("g++") is None or shutil.which("pkg-config") is None:
+        pytest.skip("no g++ / pkg-config")
+    flags = subprocess.run(
+        ["pkg-config", "--cflags", "--libs", "opencv4"], capture_output=True, text=True
+    )
+    if flags.returncode != 0:
+        pytest.skip("no opencv4")
+    out = str(tmp_path_factory.mktemp("bin") / "ref_cpu_baseline")
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-std=c++17", TOOL_SRC, "-o", out]
+        + flags.stdout.split()
+        + ["-lpthread"],
+        check=True,
+    )
+    return out
+
+
+def _rig():
+    from facebook360_dep_tpu.render import synthetic
+
+    return synthetic.make_test_rig(
+        num_cameras=NUM_CAMS, resolution=(W, H), ring_radius=0.3
+    )
+
+
+def _scene(name):
+    rig = _rig()
+    if name == "sphere":
+        from facebook360_dep_tpu.render import synthetic
+
+        colors, gt = synthetic.render_sphere_scene(rig, (W, H), radius=5.0)
+    else:
+        from facebook360_dep_tpu.render import raytrace
+
+        mesh = raytrace.box_room_with_occluders(seed=11, num_occluders=4)
+        colors, gt = raytrace.render_mesh_scene(rig, (W, H), mesh)
+    colors = np.asarray(colors)[..., :3]
+    # rare BVH edge-miss pixels render NaN; both solvers must see the same
+    # finite values, so pin them to black before the one-time quantization
+    colors = np.nan_to_num(colors, nan=0.0)
+    # quantize ONCE to uint16; both solvers consume exactly these values
+    u16 = np.clip(np.round(colors * 65535.0), 0, 65535).astype(np.uint16)
+    return rig, u16, np.asarray(gt)[0]
+
+
+def _run_reference(tool_bin, rig, u16, var_floor, workdir):
+    ind = os.path.join(workdir, "in")
+    outd = os.path.join(workdir, "out")
+    os.makedirs(ind, exist_ok=True)
+    os.makedirs(outd, exist_ok=True)
+    cams = rig.cameras
+    with open(os.path.join(ind, "meta.txt"), "w") as f:
+        f.write(f"{NUM_CAMS} {W} {H} {MIN_DEPTH} {MAX_DEPTH} 1 {var_floor:.10g}\n")
+        for i in range(NUM_CAMS):
+            p = np.asarray(cams.position)[i]
+            fx, fy = np.asarray(cams.focal)[i]
+            cx, cy = np.asarray(cams.principal)[i]
+            f.write(f"{p[0]:.17g} {p[1]:.17g} {p[2]:.17g} {fx:.17g} {fy:.17g} {cx:.17g} {cy:.17g}\n")
+    for s in range(NUM_CAMS):
+        u16[s].tofile(os.path.join(ind, f"color{s:02d}.u16"))
+    subprocess.run(
+        [tool_bin, "--mini_solver", "--input", ind, "--output", outd,
+         "--threads", str(os.cpu_count() or 1)],
+        check=True,
+    )
+    return np.fromfile(os.path.join(outd, "disp00.f32"), np.float32).reshape(H, W)
+
+
+def _run_repo(rig, u16):
+    import jax
+    import jax.numpy as jnp
+
+    from facebook360_dep_tpu.core import camera as cam
+    from facebook360_dep_tpu.depth import pipeline, solver
+
+    nrig = cam.normalize_rig(rig)
+    dst_rig = cam.Rig(
+        cameras=jax.tree.map(lambda a: a[:1], nrig.cameras),
+        ids=nrig.ids[:1], groups=nrig.groups[:1],
+    )
+    colors = jnp.asarray(u16.astype(np.float32) / 65535.0)
+    fov = pipeline.generate_fov_masks(dst_rig, (H, W))
+    ctx = solver.make_level_context(nrig, dst_rig, colors, fov, full_height=H)
+    cfg = solver.SolverConfig(
+        min_depth=MIN_DEPTH, max_depth=MAX_DEPTH,
+        num_random_proposals=0, ping_pong_iterations=1,
+        do_bilateral_filter=False, do_median_filter=True,
+        level=0, num_levels=2,  # non-coarsest so ping-pong runs
+    )
+    disparity, costs, confidences = solver.brute_force_all(ctx, cfg)
+    disparity, costs, confidences = solver.ping_pong(ctx, cfg, disparity, costs, confidences)
+    disparity = solver.median_filter(ctx, cfg, disparity)
+    return np.asarray(disparity)[0], float(ctx.var_noise_floor)
+
+
+def _rel_rmse(a, b, ok):
+    return float(np.sqrt(np.mean((a[ok] - b[ok]) ** 2)) / np.mean(b[ok]))
+
+
+# measured round-4 agreement (see module docstring + PARITY.md): sphere
+# agrees to 2.9% RMSE / 0.00 median; occluder to 7.3% / 2.6% median (the
+# reference's blurred reprojection fattens depth edges, GT RMSE 7.5% vs
+# the repo's 2.2% there). Bounds sit ~1.5x above measurement: a broken
+# probe schedule / masking / cost sign blows them by an order of magnitude.
+_BOUNDS = {"sphere": (0.05, 0.002), "occluder": (0.11, 0.045)}
+
+
+@pytest.mark.parametrize("scene", ["sphere", "occluder"])
+def test_solver_output_matches_reference(tool_bin, scene, tmp_path):
+    rig, u16, gt = _scene(scene)
+    repo_disp, var_floor = _run_repo(rig, u16)
+    ref_disp = _run_reference(tool_bin, rig, u16, var_floor, str(tmp_path))
+
+    r = 2  # exclude the brute-force margin band + its clamp extension
+    a = repo_disp[r : H - r, r : W - r]
+    b = ref_disp[r : H - r, r : W - r]
+    g = gt[r : H - r, r : W - r]
+    ok = np.isfinite(a) & np.isfinite(b) & (b > 0) & np.isfinite(g)
+    assert ok.mean() > 0.95
+
+    # 1. agreement with the reference algorithm (silent-divergence guard)
+    agree_rmse = _rel_rmse(a, b, ok)
+    agree_median = float(np.median(np.abs(a[ok] - b[ok]) / b[ok]))
+    # 2. accuracy dominance on identical inputs
+    repo_gt = _rel_rmse(a, g, ok)
+    ref_gt = _rel_rmse(b, g, ok)
+    print(
+        f"{scene}: agree relRMSE {agree_rmse:.5f} median {agree_median:.5f}; "
+        f"GT relRMSE repo {repo_gt:.5f} vs reference {ref_gt:.5f}"
+    )
+    rmse_bound, median_bound = _BOUNDS[scene]
+    assert agree_rmse < rmse_bound, f"{scene}: diverged from reference algorithm ({agree_rmse:.4f})"
+    assert agree_median < median_bound, f"{scene}: bulk-pixel divergence ({agree_median:.4f})"
+    assert repo_gt <= ref_gt * 1.10, (
+        f"{scene}: repo solver is WORSE than the reference algorithm on identical "
+        f"inputs: GT relRMSE {repo_gt:.4f} vs {ref_gt:.4f}"
+    )

@@ -53,7 +53,9 @@ using PixelF = cv::Vec3f;
 static const int kNumDepths = 150;          // Derp.h:33
 static const int kSearchWindowRadius = 1;   // Derp.h:26
 static const int kMinOverlappingCams = 2;   // Derp.h:28
-static const float kMinVar = 4e-5f;         // var_noise_floor default
+// 8-bit rounding-noise variance floor (DerpUtil.h:28-31); the confidence
+// divisor is per-pixel constant across hypotheses so timing is unaffected
+static const float kMinVar = 1.0f / 12.0f / 65025.0f;
 static const double kNearInfinity = 1e4;    // util/Camera.cpp:19
 static const int kRefinementEvals = 12;     // 2 proposals + 9 ping-pong + init
 
@@ -159,30 +161,11 @@ static inline Pixel texture(const Vec3& p) {
   return Pixel((ushort)(r * 65535), (ushort)(g * 65535), (ushort)(b * 65535));
 }
 
-static Level buildLevel(int w, int h, int numCams, int dstIdx, Pool& pool, double& precomputeSec) {
-  Level L;
-  L.w = w; L.h = h;
-  L.rig = makeRingRig(numCams, w, h);
-
-  // render src colors + gt disparity (fixture, untimed)
-  L.srcColor.resize(numCams);
-  for (int s = 0; s < numCams; ++s) {
-    L.srcColor[s].create(h, w);
-    for (int y = 0; y < h; ++y)
-      for (int x = 0; x < w; ++x) {
-        const Vec3 d = L.rig[s].ray(x + 0.5, y + 0.5);
-        const double t = sphereDepth(L.rig[s].position, d, 5.0);
-        L.srcColor[s](y, x) = texture(L.rig[s].position + d * t);
-      }
-  }
-  L.gtDisparity.create(h, w);
-  for (int y = 0; y < h; ++y)
-    for (int x = 0; x < w; ++x) {
-      const Vec3 d = L.rig[dstIdx].ray(x + 0.5, y + 0.5);
-      L.gtDisparity(y, x) = (float)(1.0 / sphereDepth(L.rig[dstIdx].position, d, 5.0));
-    }
-
-  // ---- timed precompute: warps + reprojection + bias (Derp.cpp:955-1003) --
+// ---- timed precompute: warps + reprojection + bias (Derp.cpp:955-1003) ----
+// shared by the timing harness and the mini-solver oracle mode
+static double precomputeForDst(Level& L, int dstIdx, Pool& pool) {
+  const int numCams = (int)L.rig.size();
+  const int w = L.w, h = L.h;
   const auto t0 = std::chrono::steady_clock::now();
   L.projWarp.resize(numCams);
   L.projColor.resize(numCams);
@@ -218,7 +201,9 @@ static Level buildLevel(int w, int h, int numCams, int dstIdx, Pool& pool, doubl
             else
               map.at<cv::Vec2f>(y, x) = cv::Vec2f(-1e6f, -1e6f);
           }
-        cv::remap(L.srcColor[s], L.projColor[s], map, cv::noArray(), cv::INTER_LINEAR);
+        // INTER_CUBIC: the reference's project() remap interpolation
+        // (DerpUtil.cpp:198-205)
+        cv::remap(L.srcColor[s], L.projColor[s], map, cv::noArray(), cv::INTER_CUBIC);
       }
       // colorBias: patch mean over the search window (Derp.cpp:999-1001)
       cv::blur(L.projColor[s], L.projColorBias[s],
@@ -226,19 +211,47 @@ static Level buildLevel(int w, int h, int numCams, int dstIdx, Pool& pool, doubl
     });
   }
   pool.join();
-  // dst color variance (PyramidLevel ctor computeVariances): 3x3 local
-  // variance of the green channel, used as the cost confidence
+  // dst color variance (PyramidLevel ctor computeVariances ->
+  // computeImageVariance, DerpUtil.cpp:214-237): per-channel 3x3 local
+  // variance combined with the ~1/3 kRgbWeights (DerpUtil.h:27)
   {
-    cv::Mat g;
-    cv::extractChannel(L.projColor[dstIdx], g, 1);
-    g.convertTo(g, CV_32F, 1.0 / 65535.0);
+    cv::Mat f;
+    L.projColor[dstIdx].convertTo(f, CV_32FC3, 1.0 / 65535.0);
     cv::Mat mean, meansq;
-    cv::blur(g, mean, cv::Size(3, 3));
-    cv::blur(g.mul(g), meansq, cv::Size(3, 3));
-    cv::Mat_<float> var = meansq - mean.mul(mean);
-    L.dstVariance = var;
+    cv::blur(f, mean, cv::Size(3, 3));
+    cv::blur(f.mul(f), meansq, cv::Size(3, 3));
+    cv::Mat var3 = meansq - mean.mul(mean);
+    cv::Mat ch[3];
+    cv::split(var3, ch);
+    L.dstVariance = 0.3333f * ch[0] + 0.3334f * ch[1] + 0.3333f * ch[2];
   }
-  precomputeSec = std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
+  return std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
+}
+
+static Level buildLevel(int w, int h, int numCams, int dstIdx, Pool& pool, double& precomputeSec) {
+  Level L;
+  L.w = w; L.h = h;
+  L.rig = makeRingRig(numCams, w, h);
+
+  // render src colors + gt disparity (fixture, untimed)
+  L.srcColor.resize(numCams);
+  for (int s = 0; s < numCams; ++s) {
+    L.srcColor[s].create(h, w);
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        const Vec3 d = L.rig[s].ray(x + 0.5, y + 0.5);
+        const double t = sphereDepth(L.rig[s].position, d, 5.0);
+        L.srcColor[s](y, x) = texture(L.rig[s].position + d * t);
+      }
+  }
+  L.gtDisparity.create(h, w);
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x) {
+      const Vec3 d = L.rig[dstIdx].ray(x + 0.5, y + 0.5);
+      L.gtDisparity(y, x) = (float)(1.0 / sphereDepth(L.rig[dstIdx].position, d, 5.0));
+    }
+
+  precomputeSec = precomputeForDst(L, dstIdx, pool);
   return L;
 }
 
@@ -315,13 +328,212 @@ static void evalFullImage(const Level& L, int dstIdx, const cv::Mat_<float>& dis
   pool.join();
 }
 
+// ============================================================================
+// Mini reference-solver oracle mode (--mini_solver --input DIR --output DIR).
+//
+// A faithful single-level port of the reference pipeline so the repo solver's
+// OUTPUT (not just its cost function) can be diffed against the reference
+// algorithm on identical pixel data:
+//   brute-force init   computeBruteForceDisparity   Derp.cpp:264-383
+//   ping-pong (1 iter) pingPong (Jacobi semantics)  Derp.cpp:403-541
+//   median filter      medianFilter/maskedMedianBlur Derp.cpp:904-920,
+//                                                     CvUtil.h:336
+// Input DIR layout (written by tests/test_ref_solver_oracle.py):
+//   meta.txt   "ncams w h min_depth max_depth num_dsts var_noise_floor"
+//              then per camera: "px py pz fx fy cx cy" (identity rotation —
+//              the bench ring rig, render/synthetic.py make_test_rig)
+//   colorNN.u16  h*w*3 uint16 raw (RGB row-major)
+// Output DIR: dispNN.f32 per destination (h*w float32).
+// ============================================================================
+
+// star candidate template (DerpUtil.h:34-43 candidateTemplateOriginal)
+static const int kPingPongOffsets[9][2] = {
+    {0, 0}, {-1, 0}, {1, 0}, {0, -1}, {0, 1}, {-2, -2}, {2, -2}, {-2, 2}, {2, 2}};
+
+static cv::Mat_<float> bruteForceDisparity(
+    const Level& L, int dstIdx, float minDepth, float maxDepth, Pool& pool) {
+  const int w = L.w, h = L.h;
+  const float minD = 1.0f / maxDepth, maxD = 1.0f / minDepth;
+  std::vector<cv::Mat_<float>> maps(kNumDepths);
+  std::vector<float> disparities(kNumDepths);
+  for (int i = 0; i < kNumDepths; ++i) {
+    const float f = (float)i / (kNumDepths - 1);
+    disparities[i] = f * minD + (1 - f) * maxD;  // probeDisparity, ImageUtil.cpp:100
+    maps[i].create(h, w);
+    maps[i].setTo(NAN);
+    const float d = disparities[i];
+    pool.spawn([&, i, d] {
+      const int r = kSearchWindowRadius;
+      for (int y = r; y < h - r; ++y)
+        for (int x = r; x < w - r; ++x)
+          maps[i](y, x) = std::get<0>(computeCost(L, dstIdx, d, x, y));
+    });
+  }
+  pool.join();
+
+  // per-pixel argmin (Derp.cpp:306-356; FOV all-true, no fg masks)
+  cv::Mat_<float> disp(h, w, NAN);
+  const int margin = kSearchWindowRadius;
+  for (int y = margin; y < h - margin; ++y)
+    for (int x = margin; x < w - margin; ++x) {
+      float minCost = FLT_MAX;
+      int best = -1;
+      for (int i = 0; i < kNumDepths; ++i) {
+        const float c = maps[i](y, x);
+        if (c < minCost) { minCost = c; best = i; }
+      }
+      disp(y, x) = best == -1 ? minD : disparities[best];
+    }
+  // extend to margins by clamped copy (Derp.cpp:358-383)
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x)
+      if (x < margin || x >= w - margin || y < margin || y >= h - margin)
+        disp(y, x) = disp(std::min(std::max(y, margin), h - margin - 1),
+                          std::min(std::max(x, margin), w - margin - 1));
+  return disp;
+}
+
+static void pingPongOnce(
+    const Level& L, int dstIdx, cv::Mat_<float>& disp, float varNoiseFloor, Pool& pool) {
+  // Jacobi semantics: every candidate reads the PRE-iteration map
+  // (pingPongRectangle reads `disp`, writes `dispRes`; changed=true on the
+  // first iteration — Derp.cpp:485-541)
+  const int w = L.w, h = L.h;
+  cv::Mat_<float> dispRes = disp.clone();
+  const int r = kSearchWindowRadius;
+  const int bands = std::max(pool.limit, 1);
+  const int rows = h - 2 * r;
+  for (int b = 0; b < bands; ++b) {
+    const int y0 = r + rows * b / bands, y1 = r + rows * (b + 1) / bands;
+    pool.spawn([&, y0, y1] {
+      for (int y = y0; y < y1; ++y)
+        for (int x = r; x < w - r; ++x) {
+          if (L.dstVariance(y, x) < varNoiseFloor) continue;  // Derp.cpp:434-437
+          float bestCost = INFINITY;
+          float bestDisparity = disp(y, x);
+          for (const auto& off : kPingPongOffsets) {
+            const int xx = std::min(std::max(x + off[0], 0), w - 1);
+            const int yy = std::min(std::max(y + off[1], 0), h - 1);
+            const float d = disp(yy, xx);
+            const float cost = std::get<0>(computeCost(L, dstIdx, d, x, y));
+            if (cost < bestCost) { bestCost = cost; bestDisparity = d; }
+          }
+          dispRes(y, x) = bestDisparity;
+        }
+    });
+  }
+  pool.join();
+  dispRes.copyTo(disp);
+}
+
+static cv::Mat_<float> medianFilterMasked(const cv::Mat_<float>& mat, int radius) {
+  // maskedMedianBlur with all-true mask, empty background, ignoreNan=true
+  // (CvUtil.h:336-385: NaN AND exact-zero values are excluded from the
+  // window; even-count windows average the two middle values)
+  cv::Mat_<float> out(mat.size(), 0.0f);
+  std::vector<float> values;
+  for (int y = 0; y < mat.rows; ++y)
+    for (int x = 0; x < mat.cols; ++x) {
+      values.clear();
+      for (int yy = y - radius; yy <= y + radius; ++yy)
+        for (int xx = x - radius; xx <= x + radius; ++xx) {
+          if (yy < 0 || yy >= mat.rows || xx < 0 || xx >= mat.cols) continue;
+          const float v = mat(yy, xx);
+          if (std::isnan(v) || v == 0) continue;
+          values.push_back(v);
+        }
+      if (!values.empty()) {
+        const size_t n = values.size() / 2;
+        std::partial_sort(values.begin(), values.begin() + n + 1, values.end());
+        out(y, x) = values.size() % 2 == 1 ? values[n] : (values[n - 1] + values[n]) / 2.0f;
+      }
+    }
+  return out;
+}
+
+static int runMiniSolver(const std::string& inDir, const std::string& outDir, int threads) {
+  FILE* f = std::fopen((inDir + "/meta.txt").c_str(), "r");
+  if (!f) { std::fprintf(stderr, "cannot open %s/meta.txt\n", inDir.c_str()); return 1; }
+  int ncams, w, h, numDsts;
+  double minDepth, maxDepth, varNoiseFloor;
+  if (std::fscanf(f, "%d %d %d %lf %lf %d %lf",
+                  &ncams, &w, &h, &minDepth, &maxDepth, &numDsts, &varNoiseFloor) != 7) {
+    std::fprintf(stderr, "bad meta.txt header\n"); std::fclose(f); return 1;
+  }
+  std::vector<Cam> rig(ncams);
+  for (int i = 0; i < ncams; ++i) {
+    Cam& c = rig[i];
+    double px, py, pz;
+    if (std::fscanf(f, "%lf %lf %lf %lf %lf %lf %lf",
+                    &px, &py, &pz, &c.fx, &c.fy, &c.cx, &c.cy) != 7) {
+      std::fprintf(stderr, "bad meta.txt camera %d\n", i); std::fclose(f); return 1;
+    }
+    c.position = Vec3(px, py, pz);
+    c.w = w; c.h = h;
+  }
+  std::fclose(f);
+
+  std::vector<cv::Mat_<Pixel>> colors(ncams);
+  for (int s = 0; s < ncams; ++s) {
+    char suffix[32];
+    std::snprintf(suffix, sizeof suffix, "/color%02d.u16", s);
+    const std::string name = inDir + suffix;
+    FILE* cf = std::fopen(name.c_str(), "rb");
+    if (!cf) { std::fprintf(stderr, "cannot open %s\n", name.c_str()); return 1; }
+    colors[s].create(h, w);
+    const size_t want = (size_t)h * w;
+    std::vector<uint16_t> buf(want * 3);
+    if (std::fread(buf.data(), 2, want * 3, cf) != want * 3) {
+      std::fprintf(stderr, "short read %s\n", name.c_str()); std::fclose(cf); return 1;
+    }
+    std::fclose(cf);
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        const size_t i = ((size_t)y * w + x) * 3;
+        colors[s](y, x) = Pixel(buf[i], buf[i + 1], buf[i + 2]);
+      }
+  }
+
+  Pool pool(threads);
+  for (int dstIdx = 0; dstIdx < numDsts; ++dstIdx) {
+    Level L;
+    L.w = w; L.h = h;
+    L.rig = rig;
+    L.srcColor = colors;
+    precomputeForDst(L, dstIdx, pool);
+
+    const auto dump = [&](const cv::Mat_<float>& m, const char* tag) {
+      char suffix[48];
+      std::snprintf(suffix, sizeof suffix, "/disp%02d%s.f32", dstIdx, tag);
+      const std::string name = outDir + suffix;
+      FILE* of = std::fopen(name.c_str(), "wb");
+      if (!of) { std::fprintf(stderr, "cannot open %s\n", name.c_str()); std::exit(1); }
+      std::fwrite(m.ptr<float>(), 4, (size_t)h * w, of);
+      std::fclose(of);
+      std::fprintf(stderr, "mini_solver: wrote %s\n", name.c_str());
+    };
+    cv::Mat_<float> disp = bruteForceDisparity(L, dstIdx, (float)minDepth, (float)maxDepth, pool);
+    dump(disp, "_bf");  // per-stage intermediates: the oracle test diffs the
+    pingPongOnce(L, dstIdx, disp, (float)varNoiseFloor, pool);
+    dump(disp, "_pp");  // final map; the _bf/_pp dumps localize divergence
+    disp = medianFilterMasked(disp, 1);  // kMedianFilterRadius=1 (Derp.h)
+    dump(disp, "");
+  }
+  return 0;
+}
+
 int main(int argc, char** argv) {
   const int numCams = 16;
   const int dstIdx = 0;
   int threads = (int)std::thread::hardware_concurrency();
   std::vector<int> widths = {2048, 1024, 512, 256, 200, 128, 100, 80, 60, 50};
+  bool miniSolver = false;
+  std::string inDir, outDir;
   for (int i = 1; i < argc; ++i) {
     const std::string a = argv[i];
+    if (a == "--mini_solver") miniSolver = true;
+    if (a == "--input" && i + 1 < argc) inDir = argv[++i];
+    if (a == "--output" && i + 1 < argc) outDir = argv[++i];
     if (a == "--threads" && i + 1 < argc) threads = std::atoi(argv[++i]);
     if (a == "--max_width" && i + 1 < argc) {
       const int mw = std::atoi(argv[++i]);
@@ -331,6 +543,7 @@ int main(int argc, char** argv) {
     }
   }
   cv::setNumThreads(1);  // all parallelism through the ThreadPool equivalent
+  if (miniSolver) return runMiniSolver(inDir, outDir, threads);
   Pool pool(threads);
 
   double total = 0.0;
