@@ -142,7 +142,7 @@ def main():
     # --- config 2 (headline): full coarse-to-fine pyramid, 10 levels --------
     num_levels = len(WIDTHS)
 
-    def solve_pyramid(colors_full, rig_dst_=None, rig_src_=None):
+    def solve_pyramid(colors_full, rig_dst_=None, rig_src_=None, window=None):
         """Full coarse-to-fine cascade from brute-force init; returns
         (disparity stack, total seconds, per-level times, coarsest time)."""
         level_times = {}
@@ -158,6 +158,8 @@ def main():
             cfg = solver.SolverConfig(
                 min_depth=1.0, max_depth=100.0, level=level, num_levels=num_levels,
                 num_random_proposals=2, ping_pong_iterations=1,
+                ww_max=None if window is None else window[0],
+                wh_max=None if window is None else window[1],
             )
             if level == num_levels - 1:
                 fn = lambda c: solver.process_level(c, cfg)  # noqa: E731
@@ -309,7 +311,17 @@ def main():
     )
     colors_or = jax.block_until_ready(colors_or)
     log(f"{elapsed()} outward-ring fixtures rendered")
-    disp_or, pyramid_or_s, _, _ = solve_pyramid(colors_or, rig_dst_=or_dst, rig_src_=norig)
+    # rig-derived sampler window (cost.auto_window): the outward ring's
+    # rotation stretch needs 384x56; forward rigs keep the tuned defaults
+    win_or = costmod.auto_window(
+        norig.cameras, or_dst.cameras, (hw(WIDTHS[0]), WIDTHS[0]),
+        min_depth=1.0, max_depth=100.0,
+    )
+    win_or = None if win_or == (256, 40) else win_or
+    log(f"{elapsed()} outward-ring sampler window: {win_or or 'defaults'}")
+    disp_or, pyramid_or_s, _, _ = solve_pyramid(
+        colors_or, rig_dst_=or_dst, rig_src_=norig, window=win_or
+    )
     pyramid_or_s_per_map = pyramid_or_s / BENCH_DST
     disp_or_np = np.asarray(disp_or)
     gt_or_np = np.asarray(gt_or[:BENCH_DST])

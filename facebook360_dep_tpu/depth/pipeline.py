@@ -22,6 +22,7 @@ import numpy as np
 
 from ..core import camera as cam
 from ..core import imagetypes, io
+from ..ops import cost as cost_ops
 from ..ops import sampling
 from . import solver
 
@@ -370,6 +371,22 @@ class DepthEstimator:
             size_wh = self.level_sizes[level]
             w, h = size_wh
             fov_masks = generate_fov_masks(self.rig_dst, (h, w))
+            # rig-derived sampler window (cost.auto_window): high-magnification
+            # rigs (dst FOV much wider than a src's) exceed the default 256x40
+            # source window and would silently clip; measure the warp Jacobian
+            # once per level and size the window to fit
+            use_pallas = jax.default_backend() == "tpu"
+            ww_max = wh_max = None
+            if use_pallas:
+                ww_max, wh_max = cost_ops.auto_window(
+                    self.rig_src.cameras, self.rig_dst.cameras, (h, w),
+                    min_depth=self.opts.min_depth_m, max_depth=self.opts.max_depth_m,
+                )
+                if (ww_max, wh_max) != (256, 40):
+                    log.info("level %d: auto sampler window %dx%d", level, ww_max, wh_max)
+                # defaults are the tuned fast path; only override upward
+                ww_max = None if ww_max <= 256 else ww_max
+                wh_max = None if wh_max <= 40 else wh_max
             cfg = solver.SolverConfig(
                 min_depth=self.opts.min_depth_m,
                 max_depth=self.opts.max_depth_m,
@@ -381,6 +398,8 @@ class DepthEstimator:
                 has_fg_masks=self.opts.use_foreground_masks,
                 level=level,
                 num_levels=self.num_levels,
+                ww_max=ww_max,
+                wh_max=wh_max,
             )
             if cfg.mismatches_start_level >= 0:
                 assert self.rig_dst.ids == self.rig_src.ids, (
@@ -409,7 +428,7 @@ class DepthEstimator:
                     # (~10x at mid-pyramid widths; sources edge-pad to the
                     # (8,128) DMA tiling below 128 px); on CPU backends the
                     # interpret-mode kernel would be the slow path
-                    use_pallas_sampler=jax.default_backend() == "tpu",
+                    use_pallas_sampler=use_pallas,
                 )
                 # below the coarsest level, init from the coarser level's saved
                 # result (also how mid-pyramid resume works; DerpCLI.cpp:271-303)

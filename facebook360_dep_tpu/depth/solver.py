@@ -69,6 +69,10 @@ class SolverConfig(NamedTuple):
     has_fg_masks: bool = False
     level: int = 0
     num_levels: int = 1
+    # sampler window override from cost.auto_window (None = kernel defaults);
+    # static per-level, so a new value re-jits exactly like a new level size
+    ww_max: int | None = None
+    wh_max: int | None = None
 
 
 def make_level_context(
@@ -156,6 +160,10 @@ def _cost_ctx(ctx: LevelContext, dst_idx) -> CostContext:
     )
 
 
+def _window(cfg: SolverConfig):
+    return (cfg.ww_max, cfg.wh_max) if (cfg.ww_max or cfg.wh_max) else None
+
+
 def brute_force_all(ctx: LevelContext, cfg: SolverConfig):
     """Coarsest-level initialization for every dst camera (Derp.cpp:384-401)."""
 
@@ -168,6 +176,7 @@ def brute_force_all(ctx: LevelContext, cfg: SolverConfig):
             ctx.dst_fg_masks[dst_idx],
             ctx.dst_bg_disp[dst_idx],
             cfg.has_fg_masks,
+            window=_window(cfg),
         )
 
     return jax.lax.map(one, jnp.arange(len(ctx.dst2src)))
@@ -193,7 +202,7 @@ def random_proposals(ctx: LevelContext, cfg: SolverConfig, disparity, costs, con
         min_disp = bg if cfg.has_fg_masks else jnp.full_like(bg, 1.0 / cfg.max_depth)
 
         active = fov & fg & (variance >= var_thresh)
-        cost0, conf0 = cost_ops.cost_for_disparity(cctx, disp0)
+        cost0, conf0 = cost_ops.cost_for_disparity(cctx, disp0, window=_window(cfg))
         cost_thresh = jnp.minimum(0.5 * cost0, cost_ops.RANDOM_PROP_MAX_COST)
         amplitude0 = (max_disp - min_disp) / 2.0
 
@@ -203,7 +212,7 @@ def random_proposals(ctx: LevelContext, cfg: SolverConfig, disparity, costs, con
             hi = jnp.minimum(max_disp, disp + amp)
             u = jax.random.uniform(k, disp.shape, disp.dtype)
             prop = lo + u * (hi - lo)
-            pcost, pconf = cost_ops.cost_for_disparity(cctx, jnp.where(active, prop, disp))
+            pcost, pconf = cost_ops.cost_for_disparity(cctx, jnp.where(active, prop, disp), window=_window(cfg))
             accept = active & (pcost < cost) & (pcost < cost_thresh)
             return (
                 jnp.where(accept, prop, disp),
@@ -270,7 +279,7 @@ def ping_pong(ctx: LevelContext, cfg: SolverConfig, disparity, costs, confidence
                 cand = filters._shift(disp, dy, dx)
                 cand_fov = filters._shift(fov, dy, dx)
                 ok = cand_fov & (cand >= bg_floor) & jnp.isfinite(cand)
-                ccost, cconf = cost_ops.cost_for_disparity(cctx, jnp.where(ok, cand, disp))
+                ccost, cconf = cost_ops.cost_for_disparity(cctx, jnp.where(ok, cand, disp), window=_window(cfg))
                 ccost = jnp.where(ok, ccost, jnp.inf)
                 better = ccost < best_cost
                 best_cost = jnp.where(better, ccost, best_cost)
@@ -341,8 +350,10 @@ def handle_mismatches(ctx: LevelContext, cfg: SolverConfig, disparity, full_disp
             # map at 2K x 16 src; this chip copies HBM at ~47 GB/s).
             params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
             rays_planar = jnp.moveaxis(rays, -1, 0)
+            win = _window(cfg) or (None, None)
             smp, k_valid, _clipped = warp_pallas.project_sample_planar_v4(
                 disp_planar, params, pos, jnp.broadcast_to(disp, (h, w)), rays_planar,
+                ww_max=win[0], wh_max=win[1],
             )
             # smp is channel-planar (N, C, H, W): plane 0 = NaN-filled
             # disparity, plane 1 = finite-mask. Window-clipped samples are

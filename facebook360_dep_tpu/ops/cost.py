@@ -227,7 +227,82 @@ def combine_top2(biased, unbiased, valid, variance):
     return cost, confidence
 
 
-def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.ndarray]:
+def auto_window(src_cams, dst_cams, dst_hw, src_hw=None,
+                min_depth: float = 0.5, max_depth: float = 1e4, grid: int = 33):
+    """Rig-derived sampler window size (VERDICT r3 #5).
+
+    The Pallas sampler covers each 128x24 dst tile with a fixed source
+    window (defaults 256x40). Clipping is SAFE (the candidate's cost goes
+    FLT_MAX and the solver keeps its carry) but a rig with sustained warp
+    magnification — a dst camera whose FOV is much wider than a source's,
+    or strongly rotated outward rigs near their shared FOV edges — clips
+    persistently and silently degrades coverage there. This measures the
+    warp Jacobian (finite differences of reproject_rays on a coarse grid,
+    every (dst, src) pair, near+far disparity) and sizes the window from
+    its p99.5 over valid samples:
+
+      x: ww = 256 while p99.5 <= 1.5 (the measured-safe regime: the
+         128-col anchor alignment rarely wastes its worst case; the bench
+         forward rig measures p100 = 1.22 with 0.09%% clipping), else the
+         worst-anchor bound 128*ceil((128*m + 130)/128), capped at 512.
+      y: anchors align to 8 rows (tight), so wh = 40 while p99.5 <= 1.25,
+         else 8*ceil((24*m + 10)/8), capped at 64.
+
+    The >p99.5 tail rides the clip guard. Host-side, one tiny jit per
+    (dst, src-rig) shape; thread the result via SolverConfig.ww_max/wh_max.
+    """
+    import numpy as _np
+
+    dst_hw = tuple(dst_hw)
+    src_hw = dst_hw if src_hw is None else tuple(src_hw)
+    h, w = dst_hw
+    sy = max(1, (h - 1) // (grid - 1))
+    sx = max(1, (w - 1) // (grid - 1))
+    ns = len(jax.tree.leaves(src_cams.position)[0])
+    n_dst = len(jax.tree.leaves(dst_cams.position)[0])
+
+    @jax.jit
+    def one_dst(cdst):
+        rays = dst_ray_dirs(cdst, h, w)[::sy, ::sx]
+
+        def per_src(si):
+            csrc = jax.tree.map(lambda a: a[si], src_cams)
+
+            def per_disp(d):
+                coords, valid = reproject_rays(
+                    cdst.position, rays, csrc, jnp.full(rays.shape[:2], d), src_hw
+                )
+                mx = jnp.abs(coords[:, 1:, 0] - coords[:, :-1, 0]) / sx
+                my = jnp.abs(coords[1:, :, 1] - coords[:-1, :, 1]) / sy
+                return (mx, valid[:, 1:] & valid[:, :-1],
+                        my, valid[1:] & valid[:-1])
+
+            ds = jnp.asarray([1.0 / max_depth, 1.0 / min_depth], jnp.float32)
+            return jax.vmap(per_disp)(ds)
+
+        return jax.vmap(per_src)(jnp.arange(ns))
+
+    mx_all, my_all = [], []
+    for di in range(n_dst):
+        cdst = jax.tree.map(lambda a: a[di], dst_cams)
+        mx, vx, my, vy = (
+            _np.asarray(a) for a in one_dst(jax.tree.map(jnp.asarray, cdst))
+        )
+        if vx.any():
+            mx_all.append(mx[vx])
+        if vy.any():
+            my_all.append(my[vy])
+    mx = float(_np.percentile(_np.concatenate(mx_all), 99.5)) if mx_all else 1.0
+    my = float(_np.percentile(_np.concatenate(my_all), 99.5)) if my_all else 1.0
+
+    import math
+
+    ww = 256 if mx <= 1.5 else 128 * math.ceil((128.0 * mx + 130.0) / 128.0)
+    wh = 40 if my <= 1.25 else 8 * math.ceil((24.0 * my + 10.0) / 8.0)
+    return min(max(ww, 256), 512), min(max(wh, 40), 64)
+
+
+def cost_for_disparity(ctx: CostContext, disparity, window=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Cost + confidence maps for a whole disparity map (or scalar hypothesis).
 
     With src_imgs_t present (the TPU hot path) the eval is two Pallas
@@ -254,12 +329,14 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
         rays_planar = jnp.moveaxis(ctx.dst_rays, -1, 0)  # (3, H, W)
         params = warp_pallas.pack_camera_params_traced(ctx.src_cams)
         dst_planar = jnp.moveaxis(ctx.dst_img[..., :3], -1, 0)
+        ww_max, wh_max = window if window is not None else (None, None)
         if h * w >= PACKED_MIN_PIXELS:
             sampled_p = warp_pallas.project_sample_packed(
                 ctx.src_imgs_t, params, ctx.cam_dst.position, disparity_map, rays_planar,
                 # producers (solver.make_level_context / parallel.sharding)
                 # quantize the stack under the same flag
                 src_exact_bf16=SRC_QUANT_EXACT,
+                ww_max=ww_max, wh_max=wh_max,
             )
             return warp_pallas.ssd_combine(
                 sampled_p, None, dst_planar, ctx.variance, ctx.exclude_idx,
@@ -272,6 +349,7 @@ def cost_for_disparity(ctx: CostContext, disparity) -> tuple[jnp.ndarray, jnp.nd
         sampled, k_valid, clipped = warp_pallas.project_sample_planar_v4(
             ctx.src_imgs_t, params, ctx.cam_dst.position, disparity_map, rays_planar,
             src_exact_bf16=SRC_QUANT_EXACT,
+            ww_max=ww_max, wh_max=wh_max,
         )
         cost, confidence = warp_pallas.ssd_combine(
             sampled, k_valid, dst_planar, ctx.variance, ctx.exclude_idx,
@@ -327,6 +405,7 @@ def brute_force_disparity(
     bg_disparity: jnp.ndarray,
     has_fg_masks: bool,
     num_depths: int = NUM_DEPTHS,
+    window=None,
 ):
     """Plane sweep: scan NUM_DEPTHS hypotheses with a running argmin.
 
@@ -340,7 +419,7 @@ def brute_force_disparity(
 
     def step(carry, d):
         best_cost, best_disp, best_conf = carry
-        cost, conf = cost_for_disparity(ctx, d)
+        cost, conf = cost_for_disparity(ctx, d, window=window)
         # Foreground pixels must be closer than the background (Derp.cpp:240-242)
         if has_fg_masks:
             closer = bg_disparity < d

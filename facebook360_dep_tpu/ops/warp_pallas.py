@@ -584,20 +584,41 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
             dst_c = pl.multiple_of(128 + j * tw, 128)
             ilast, jlast = (h0 - 1) // th, (w0 - 1) // tw
             exact_h, exact_w = h0 % th == 0, w0 % tw == 0
-            planes = list(range(c))
-            # channel 0 carries validity: sample (>= 0) / -1 invisible /
-            # -2 clipped; channels 1.. are zeroed at invalid pixels already.
-            # The clamp guards src_exact_bf16=False (A/B knob): the hi/lo
-            # split contraction can round a near-zero valid sample slightly
-            # negative, which the combine's raw0 >= 0 test would misread as
-            # invisible. With src_exact_bf16=True samples are already >= 0.
+            planes = [0, 1]
+            # TWO planes, not C (round-4 HBM lever — the ~29 ms/eval floor at
+            # 2K was the f32 sampled-stack writes at this chip's ~47 GB/s,
+            # and the combine re-reads them):
+            #   plane 0: validity + the R sample at FULL f32 precision —
+            #     sample (>= 0) when valid, -1 invisible, -2 clipped. The
+            #     clamp guards src_exact_bf16=False (A/B knob): the hi/lo
+            #     split can round a near-zero valid sample slightly negative,
+            #     which the combine's raw0 >= 0 test would misread.
+            #   plane 1: G and B packed as two u16 fixed-point samples in one
+            #     32-bit lane (G << 16 | B, scale 65535) — samples live in
+            #     [0, 1] (convex bilinear blend of [0, 1] sources), so the
+            #     rounding error is <= 2^-17 per sample (PARITY deviation
+            #     row). Keeping 32-bit lanes preserves every (8, 128) DMA
+            #     alignment rule this emitter is built on; a true u16 buffer
+            #     would flip the whole layout to (16, 128) tiling.
             ch0 = jnp.where(ok_t > 0.0, jnp.maximum(outs[0], 0.0), -1.0 - clip_t)
+            # 2^-16 fixed point (NOT 1/65535): the dequantizing multiply by a
+            # power of two is EXACT in f32, so the combine's unpack yields
+            # bit-identical samples no matter how XLA fuses it (an inexact
+            # 1/65535 scale made FMA grouping visible: sharded vs unsharded
+            # graphs flipped rare argmin ties). Top-end clamp costs <= 2^-16
+            # only for samples above 1 - 2^-17.
+            g_u = jnp.minimum(
+                jnp.round(jnp.clip(outs[1], 0.0, 1.0) * 65536.0), 65535.0
+            ).astype(jnp.uint32)
+            b_u = jnp.minimum(
+                jnp.round(jnp.clip(outs[2], 0.0, 1.0) * 65536.0), 65535.0
+            ).astype(jnp.uint32)
+            chgb = jax.lax.bitcast_convert_type((g_u << 16) | b_u, jnp.float32)
             out_s[gi, 0] = ch0
-            for ci in range(1, c):
-                out_s[gi, ci] = outs[ci]
+            out_s[gi, 1] = chgb
 
             def plane_val(ci):
-                return ch0 if ci == 0 else outs[ci]
+                return ch0 if ci == 0 else chgb
 
             def plane_dst(ci, rows, cols):
                 # single flat .at: a chained TransformedRef at an unaligned
@@ -942,7 +963,8 @@ def project_sample_planar_v4(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "interpret", "precision", "src_exact_bf16", "srcs_per_launch", "k2_th", "k2_tw"
+        "interpret", "precision", "src_exact_bf16", "srcs_per_launch", "k2_th", "k2_tw",
+        "ww_max", "wh_max",
     ),
 )
 def project_sample_packed(
@@ -957,6 +979,8 @@ def project_sample_packed(
     srcs_per_launch: int | None = None,
     k2_th: int | None = None,  # consumer (ssd_combine) tile dims; set the
     k2_tw: int | None = None,  # padded buffer extents
+    ww_max: int | None = None,  # window cols (default V4_WINDOW_W; see
+    wh_max: int | None = None,  # cost.auto_window for rig-derived sizing)
 ):
     """project_sample_planar_v4 writing DIRECTLY into ssd_combine's padded
     window layout, skipping the XLA pad of the sampled stack between the two
@@ -991,8 +1015,8 @@ def project_sample_packed(
     rays_p = _reflect1_grid_pad(jnp.asarray(rays, jnp.float32), th, tw, hw_axes=(1, 2))
     h, w = disparity_p.shape
     grid = (n // g, h // th, w // tw)
-    ww = min(V4_WINDOW_W, ws_pad)
-    wh = min(V4_WINDOW_H, hs_pad)
+    ww = min(V4_WINDOW_W if ww_max is None else ww_max, ws_pad)
+    wh = min(V4_WINDOW_H if wh_max is None else wh_max, hs_pad)
     r_pad, c_pad = packed_pad_dims(h0, w0, k2_th, k2_tw)
 
     sampled_p = pl.pallas_call(
@@ -1008,13 +1032,14 @@ def project_sample_packed(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((n, c, r_pad, c_pad), jnp.float32),
+        # 2 planes: validity+R (f32) and G|B packed as 2xu16 (see emit_packed)
+        out_shape=jax.ShapeDtypeStruct((n, 2, r_pad, c_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((g, c * wh, ww), src_planar.dtype),
             pltpu.SemaphoreType.DMA((g, c)),
-            pltpu.VMEM((g, c, th, tw), jnp.float32),   # out tile staging
-            pltpu.VMEM((g, c, th, 128), jnp.float32),  # ring sliver staging
-            pltpu.SemaphoreType.DMA((g, c)),           # bulk write sems
+            pltpu.VMEM((g, 2, th, tw), jnp.float32),   # out tile staging
+            pltpu.VMEM((g, 2, th, 128), jnp.float32),  # ring sliver staging
+            pltpu.SemaphoreType.DMA((g, 2)),           # bulk write sems
             pltpu.SemaphoreType.DMA,                   # shared sliver sem
         ],
         interpret=interpret,
@@ -1137,6 +1162,21 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
         dst_c = [dwin_ref[ci].astype(jnp.float32) for ci in range(c)]
         neg = jnp.float32(-flt_max)
 
+        def src_samples(s):
+            """Per-channel sample planes for source s. val3 carries TWO
+            planes: validity+R (f32 exact) and G|B as 2 x u16 fixed point in
+            one 32-bit lane (emit_packed) — unpack costs two VPU shifts and
+            saves a third of the stack's HBM write + window read."""
+            if not val3:
+                return [swin_ref[s, ci].astype(jnp.float32) for ci in range(c)]
+            raw0 = swin_ref[s, 0].astype(jnp.float32)
+            u = jax.lax.bitcast_convert_type(swin_ref[s, 1], jnp.uint32)
+            # 2^-16 scale: exact multiply -> deterministic under any fusion
+            sg = (u >> 16).astype(jnp.float32) * (1.0 / 65536.0)
+            sb = (u & 0xFFFF).astype(jnp.float32) * (1.0 / 65536.0)
+            return [raw0, sg, sb]
+
+
         if ablate == "read_only":
             cost_ref[...] = _core(dst_c[0])
             conf_ref[...] = _core(dst_c[1 % c])
@@ -1145,8 +1185,9 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
             acc = jnp.zeros((th, tw), jnp.float32)
             def dstep(s, a):
                 d2 = jnp.zeros((ih, iw), jnp.float32)
+                samples = src_samples(s)
                 for ci in range(c):
-                    diff = dst_c[ci] - swin_ref[s, ci].astype(jnp.float32)
+                    diff = dst_c[ci] - samples[ci]
                     d2 = d2 + diff * diff
                 return a + _core(d2)
             acc = jax.lax.fori_loop(0, n_src, dstep, acc)
@@ -1157,8 +1198,9 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
         def src_step(s, carry):
             b1, u1, b2, u2, total_u, count, clip_any = carry
             not_self = (exclude_ref[0, 0] != s).astype(jnp.float32)
+            samples = src_samples(s)
             if val3:
-                raw0 = swin_ref[s, 0].astype(jnp.float32)  # sample or -1/-2
+                raw0 = samples[0]  # sample (>= 0) or -1 invisible / -2 clipped
                 vld = (raw0 >= 0.0).astype(jnp.float32) * not_self  # (ih, iw)
                 clip_any = jnp.maximum(
                     clip_any, _core((raw0 < -1.5).astype(jnp.float32)) * not_self)
@@ -1172,7 +1214,7 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
             d2 = jnp.zeros((ih, iw), jnp.float32)
             md_sq = jnp.zeros((th, tw), jnp.float32)
             for ci in range(c):
-                diff = (dst_c[ci] - swin_ref[s, ci].astype(jnp.float32)) * vld
+                diff = (dst_c[ci] - samples[ci]) * vld
                 d2 = d2 + diff * diff
                 if ablate != "no_md":
                     md = _box(diff) * inv_cnt
@@ -1251,7 +1293,12 @@ def ssd_combine(
     fetched), and clipped pixels force cost to FLT_MAX in-kernel."""
     if interpret is None:
         interpret = _default_interpret()
-    n, c = sampled.shape[:2]
+    n, n_planes = sampled.shape[:2]
+    c = dst_planar.shape[0]
+    if true_shape is not None:
+        assert n_planes == 2, "packed mode carries (validity+R, G|B) planes"
+    else:
+        assert n_planes == c, (n_planes, c)
     if true_shape is not None:
         h0, w0 = true_shape
     else:
@@ -1295,7 +1342,7 @@ def ssd_combine(
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), any_spec]  # exclude, sampled
     operands = [jnp.asarray(exclude_idx, jnp.int32).reshape(1, 1), samp_p]
-    scratch = [pltpu.VMEM((n, c, ih, iw), samp_p.dtype)]
+    scratch = [pltpu.VMEM((n, n_planes, ih, iw), samp_p.dtype)]
     if not packed:
         in_specs.append(any_spec)           # separate validity plane
         operands.append(val_p)

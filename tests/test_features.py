@@ -68,7 +68,10 @@ def test_match_corners_and_calibrate(scene):
         pass_count=3, outlier_factor=5.0, lock_principals=True, lock_focal=True
     )
     solved, median = geo.geometric_calibration(perturbed, feats, overlaps, opts)
-    assert median < 1.0, f"median reprojection error {median}px"
+    # the reference's validity threshold: median reprojection <= 0.5 px
+    # (--max_error, GeometricCalibration.cpp:67; its CI contract is
+    # 0.4 +- 0.125, res/test/translator.json). Measured here: 0.339 px.
+    assert median <= 0.5, f"median reprojection error {median}px > reference 0.5px bar"
 
     # with positions locked on a small-baseline rig, a common rotation of all
     # cameras is near-gauge-free; remove the best global rotation before
@@ -84,4 +87,11 @@ def test_match_corners_and_calibrate(scene):
 
     before = gauge_aligned_forward_rmse(perturbed, scaled)
     after = gauge_aligned_forward_rmse(solved, scaled)
-    assert after < before, (before, after)
+    # quantitative recovery (RigCompare-style): the solve must remove a
+    # definite fraction of the injected rotation, not merely "improve".
+    # Measured: 52% of the gauge-aligned forward-vector RMSE is recovered
+    # (0.0120 -> 0.0058 rad), converged by pass 3 (identical at 6 passes);
+    # the residual is the small-baseline rotation/translation
+    # near-degeneracy of the forward ring, not solver slack.
+    assert after <= 0.65 * before, (before, after)
+    assert after < 0.008, (before, after)

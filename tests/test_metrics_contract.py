@@ -68,8 +68,43 @@ def test_derp_rephoto_contract(project, caplog):
     # 90.0 +-0.05 contract (which binds to its S3 dataset and resolution —
     # MSSIM's 11 px window penalizes 96 px images). Deterministic solve
     # measures 87.1 here; 85 leaves platform margin. At 2K the bench
-    # reports ~99.4 (BENCH detail rephoto_mssim_pct).
+    # reports ~99.4 (BENCH detail rephoto_mssim_pct); the reference's own
+    # 90-contract binds at 256 px in test_derp_rephoto_reference_contract.
     assert mssim > 85.0, mssim
+
+
+@pytest.mark.slow
+def test_derp_rephoto_reference_contract(tmp_path, caplog):
+    """The reference's ACTUAL quality bar — rephoto MSSIM >= 90.0 - 0.05
+    (res/test/translator.json DerpCLITest) — at a resolution where MSSIM's
+    11 px window is no longer the binding constraint. Measured 92.85 at
+    256 px (round 4), so the reference tolerance holds with real margin."""
+    root = str(tmp_path / "proj")
+    rig_simulator.main([
+        "--dest", root, "--num_cameras", "4", "--resolution", "256", "--levels", "3",
+    ])
+    out = os.path.join(root, "out")
+    derp_cli.main([
+        "--input_root", root, "--output_root", out,
+        "--min_depth_m", "1.0", "--max_depth_m", "100.0", "--resolution", "256",
+    ])
+    with caplog.at_level(logging.INFO):
+        compute_rephotography_errors.main([
+            "--color", os.path.join(root, "video/color_levels/level_0"),
+            "--disparity", os.path.join(out, "disparity_levels/level_0"),
+            "--rig", os.path.join(root, "rigs/rig_calibrated.json"),
+            "--output", os.path.join(root, "rephoto"),
+            "--first", "000000", "--last", "000000",
+        ])
+    metrics, progress = {}, {}
+    for rec in caplog.records:
+        log_reader.scan_line(rec.getMessage(), metrics, progress)
+    mssim = np.mean([
+        metrics["rephoto_mssim_r"][-1],
+        metrics["rephoto_mssim_g"][-1],
+        metrics["rephoto_mssim_b"][-1],
+    ])
+    assert mssim >= 90.0 - 0.05, mssim
 
 
 def test_calibration_artificial_points_contract(tmp_path):

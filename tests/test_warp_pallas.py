@@ -216,11 +216,15 @@ def test_corner_pixels_covered_default_fov_rig():
 def test_packed_pipeline_bit_exact():
     import jax
     """cost_for_disparity's packed layout (project_sample_packed writing
-    straight into ssd_combine's padded windows, val3 clip folding, reflect
-    ring via slivers + reflect-1 grid padding) must be BIT-identical to the
-    plain v4 -> pad -> k2 -> any_clip composition. Production gates packed
-    behind PACKED_MIN_PIXELS; force it on at test sizes, covering exact and
-    non-exact tile multiples (all four ring/sliver regimes)."""
+    straight into ssd_combine's padded windows, val3 clip folding, G|B
+    packed as 2 x u16 in plane 1, reflect ring via slivers + reflect-1 grid
+    padding) must be BIT-identical to the plain v4 -> host GB-quantization
+    -> pad -> k2 -> any_clip composition (the quantization applied outside
+    the kernel with the same k * (1/65535) arithmetic), and within the
+    documented 2^-17-per-sample bound of the unquantized composition.
+    Production gates packed behind PACKED_MIN_PIXELS; force it on at test
+    sizes, covering exact and non-exact tile multiples (all four
+    ring/sliver regimes)."""
     from facebook360_dep_tpu.core import camera as cam
     from facebook360_dep_tpu.ops import cost as cost_ops
     from facebook360_dep_tpu.ops import sampling
@@ -260,36 +264,77 @@ def test_packed_pipeline_bit_exact():
 
         sampled, k_valid, clipped = warp_pallas.project_sample_planar_v4(
             stack, params, cam0.position, dm, rays_planar, src_exact_bf16=True)
-        c_old, f_old = warp_pallas.ssd_combine(
+        c_raw, f_old = warp_pallas.ssd_combine(
             sampled, k_valid, dst_planar, variance, 0, **kw)
         not_self = (jnp.arange(4) != 0).astype(clipped.dtype)
         any_clip = jnp.max(clipped * not_self[:, None, None], axis=0) > 0
-        c_old = jnp.where(any_clip, cost_ops.FLT_MAX, c_old)
+        c_old = jnp.where(any_clip, cost_ops.FLT_MAX, c_raw)
+        # the bit-exact oracle: G/B quantized on the host with the SAME
+        # k * (1/65535) arithmetic the combine kernel's unpack performs
+        gb_q = (
+            jnp.minimum(jnp.round(jnp.clip(sampled[:, 1:], 0.0, 1.0) * 65536.0), 65535.0)
+            * np.float32(1.0 / 65536.0)
+        )
+        sampled_q = jnp.concatenate([sampled[:, :1], gb_q], axis=1)
+        c_q, f_q = warp_pallas.ssd_combine(
+            sampled_q, k_valid, dst_planar, variance, 0, **kw)
+        c_q = jnp.where(any_clip, cost_ops.FLT_MAX, c_q)
 
         sampled_p = warp_pallas.project_sample_packed(
             stack, params, cam0.position, dm, rays_planar, src_exact_bf16=True)
+        assert sampled_p.shape[1] == 2, sampled_p.shape
         c_new, f_new = warp_pallas.ssd_combine(
             sampled_p, None, dst_planar, variance, 0, true_shape=(h, w), **kw)
 
-        co, cn = np.asarray(c_old), np.asarray(c_new)
-        fin_o = np.isfinite(co) & (co < 1e30)
+        cq, cn = np.asarray(c_q), np.asarray(c_new)
+        fin_q = np.isfinite(cq) & (cq < 1e30)
         fin_n = np.isfinite(cn) & (cn < 1e30)
+        assert (fin_q == fin_n).all(), (w, h)
+        # the 2^-16 dequantizing multiply is exact in f32, so the packed
+        # path is BIT-identical to the host-quantized composition — FMA
+        # grouping cannot perturb an exact product
+        assert (cq[fin_q] == cn[fin_q]).all(), (
+            w, h, np.abs(cq[fin_q] - cn[fin_q]).max())
+        assert (np.asarray(f_q) == np.asarray(f_new)).all(), (w, h)
+        # bounded deviation vs the UNQUANTIZED path: finite sets identical
+        # (validity/clip flags live in the exact plane 0) and costs within
+        # the 2^-17-per-sample bound's downstream effect
+        co = np.asarray(c_old)
+        fin_o = np.isfinite(co) & (co < 1e30)
         assert (fin_o == fin_n).all(), (w, h)
-        assert (co[fin_o] == cn[fin_o]).all(), (w, h, np.abs(co[fin_o] - cn[fin_o]).max())
-        assert (np.asarray(f_old) == np.asarray(f_new)).all(), (w, h)
-        # ring parity: reflect-101 of the interior samples. Channel 0
-        # embeds validity (sample >= 0 / -1 invisible / -2 clipped), so
-        # compare the valid-masked view against the plain kernel's output
-        # (which zeroes invalid samples) and the flags against valid/clip.
+        rel = np.abs(cn[fin_o] - co[fin_o]) / (np.abs(co[fin_o]) + 1e-6)
+        assert np.median(rel) < 1e-3, (w, h, np.median(rel))
+        assert np.percentile(rel, 99) < 0.05, (w, h, np.percentile(rel, 99))
+
+        # ring parity: reflect-101 of the interior. Plane 0 embeds validity
+        # (sample >= 0 / -1 invisible / -2 clipped) and the exact R sample;
+        # plane 1 packs G|B as 2 x u16 — compare the unpacked planes against
+        # the host-quantized stack.
         sp_full = np.asarray(sampled_p)
         sp = sp_full[:, :, 8:8 + h, 128:128 + w]
-        sp_masked = np.where(sp[:, 0:1] >= 0, sp, 0.0)
-        assert np.array_equal(sp_masked, np.asarray(sampled)), (w, h)
         kv, cl = np.asarray(k_valid), np.asarray(clipped)
         assert np.array_equal(sp[:, 0] >= 0, kv > 0.5), (w, h)
         assert np.array_equal(sp[:, 0] < -1.5, cl > 0.5), (w, h)
-        ring = np.where(sp_full[:, 0:1] >= 0, sp_full, 0.0)
-        spm = sp_masked
+
+        def unpack(plane):
+            u = plane.view(np.uint32)
+            return np.stack(
+                [(u >> 16).astype(np.float32) * np.float32(1.0 / 65536.0),
+                 (u & 0xFFFF).astype(np.float32) * np.float32(1.0 / 65536.0)], 1)
+
+        r_masked = np.where(sp[:, 0] >= 0, sp[:, 0], 0.0)
+        assert np.array_equal(r_masked, np.asarray(sampled)[:, 0]), (w, h)
+        gb = unpack(np.ascontiguousarray(sp[:, 1]))
+        gb_masked = np.where(sp[:, 0:1] >= 0, gb, 0.0)
+        assert np.array_equal(gb_masked, np.asarray(sampled_q)[:, 1:]), (w, h)
+        # reflect ring holds bit-wise on both planes (pure data copies).
+        # Compare uint32 views: packed G|B lanes can be NaN bit patterns,
+        # and float equality would reject them
+        bits = np.ascontiguousarray(sp_full).view(np.uint32)
+        zero_bits = np.zeros((), np.float32).view(np.uint32)
+        valid_full = sp_full[:, 0:1] >= 0
+        ring = np.where(valid_full, bits, zero_bits)
+        spm = ring[:, :, 8:8 + h, 128:128 + w]
         assert np.array_equal(ring[:, :, 7, 128:128 + w], spm[:, :, 1, :]), (w, h)
         assert np.array_equal(ring[:, :, 8 + h, 128:128 + w], spm[:, :, h - 2, :]), (w, h)
         assert np.array_equal(ring[:, :, 8:8 + h, 127], spm[:, :, :, 1]), (w, h)
