@@ -585,35 +585,39 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
             ilast, jlast = (h0 - 1) // th, (w0 - 1) // tw
             exact_h, exact_w = h0 % th == 0, w0 % tw == 0
             planes = [0, 1]
-            # TWO planes, not C (round-4 HBM lever — the ~29 ms/eval floor at
-            # 2K was the f32 sampled-stack writes at this chip's ~47 GB/s,
-            # and the combine re-reads them):
-            #   plane 0: validity + the R sample at FULL f32 precision —
-            #     sample (>= 0) when valid, -1 invisible, -2 clipped. The
-            #     clamp guards src_exact_bf16=False (A/B knob): the hi/lo
-            #     split can round a near-zero valid sample slightly negative,
-            #     which the combine's raw0 >= 0 test would misread.
-            #   plane 1: G and B packed as two u16 fixed-point samples in one
-            #     32-bit lane (G << 16 | B, scale 65535) — samples live in
+            # TWO int32 planes, not C f32 planes (round-4 HBM lever — the
+            # ~29 ms/eval floor at 2K was the f32 sampled-stack writes at
+            # this chip's ~47 GB/s, and the combine re-reads them):
+            #   plane 0: validity + the R sample as 2^-24 fixed point —
+            #     round(R * 2^24) >= 0 when valid (error <= 2^-25; values
+            #     <= 2^24 convert exactly both ways), -1 invisible, -2
+            #     clipped.
+            #   plane 1: G and B as two u16 fixed-point samples in one
+            #     int32 lane (G << 16 | B, scale 2^-16): samples live in
             #     [0, 1] (convex bilinear blend of [0, 1] sources), so the
             #     rounding error is <= 2^-17 per sample (PARITY deviation
-            #     row). Keeping 32-bit lanes preserves every (8, 128) DMA
-            #     alignment rule this emitter is built on; a true u16 buffer
-            #     would flip the whole layout to (16, 128) tiling.
-            ch0 = jnp.where(ok_t > 0.0, jnp.maximum(outs[0], 0.0), -1.0 - clip_t)
-            # 2^-16 fixed point (NOT 1/65535): the dequantizing multiply by a
-            # power of two is EXACT in f32, so the combine's unpack yields
-            # bit-identical samples no matter how XLA fuses it (an inexact
-            # 1/65535 scale made FMA grouping visible: sharded vs unsharded
-            # graphs flipped rare argmin ties). Top-end clamp costs <= 2^-16
-            # only for samples above 1 - 2^-17.
+            #     row; the top-end clamp adds <= 2^-16 above 1 - 2^-17).
+            # Everything is integer ARITHMETIC, never a bitcast — Mosaic
+            # aborts compiling f32<->i32 bitcasts here (array.h bounds
+            # check), while f32<->i32 converts, shifts, and ors lower fine.
+            # The power-of-two scales make every dequantizing multiply
+            # EXACT in f32, so the path is deterministic under any XLA FMA
+            # fusion (an inexact 1/65535 scale flipped rare argmin ties
+            # between sharded and unsharded graphs). 32-bit lanes keep
+            # every (8, 128) DMA alignment rule this emitter is built on;
+            # a true u16 buffer would flip the layout to (16, 128) tiling.
+            ch0 = jnp.where(
+                ok_t > 0.0,
+                jnp.round(jnp.maximum(outs[0], 0.0) * 16777216.0),
+                -1.0 - clip_t,
+            ).astype(jnp.int32)
             g_u = jnp.minimum(
                 jnp.round(jnp.clip(outs[1], 0.0, 1.0) * 65536.0), 65535.0
-            ).astype(jnp.uint32)
+            ).astype(jnp.int32)
             b_u = jnp.minimum(
                 jnp.round(jnp.clip(outs[2], 0.0, 1.0) * 65536.0), 65535.0
-            ).astype(jnp.uint32)
-            chgb = jax.lax.bitcast_convert_type((g_u << 16) | b_u, jnp.float32)
+            ).astype(jnp.int32)
+            chgb = (g_u << 16) | b_u
             out_s[gi, 0] = ch0
             out_s[gi, 1] = chgb
 
@@ -637,7 +641,7 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
                 sub = jax.lax.broadcasted_iota(jnp.int32, (8, tw), 0)
                 for ci in planes:
                     sliver_s[gi, ci, :8, :tw] = jnp.where(
-                        sub == local_row, plane_val(ci)[src_row:src_row + 1, :], 0.0)
+                        sub == local_row, plane_val(ci)[src_row:src_row + 1, :], 0)
                     cp = pltpu.make_async_copy(
                         sliver_s.at[gi, ci, pl.ds(0, 8), pl.ds(0, tw)],
                         plane_dst(ci, pl.ds(dst_row, 8), pl.ds(dst_c, tw)),
@@ -652,7 +656,7 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
                 lane = jax.lax.broadcasted_iota(jnp.int32, (th, 128), 1)
                 for ci in planes:
                     sliver_s[gi, ci, :th, :128] = jnp.where(
-                        lane == local_col, plane_val(ci)[:, src_col:src_col + 1], 0.0)
+                        lane == local_col, plane_val(ci)[:, src_col:src_col + 1], 0)
                     cp = pltpu.make_async_copy(
                         sliver_s.at[gi, ci, pl.ds(0, th), pl.ds(0, 128)],
                         plane_dst(ci, pl.ds(dst_r, th), pl.ds(dst_col, 128)),
@@ -669,7 +673,7 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
                 for ci in planes:
                     v = plane_val(ci)[src_row, src_col]
                     sliver_s[gi, ci, :8, :128] = jnp.where(
-                        (sub == local_row) & (lane == local_col), v, 0.0)
+                        (sub == local_row) & (lane == local_col), v, 0)
                     cp = pltpu.make_async_copy(
                         sliver_s.at[gi, ci, pl.ds(0, 8), pl.ds(0, 128)],
                         plane_dst(ci, pl.ds(dst_row, 8), pl.ds(dst_col, 128)),
@@ -1032,13 +1036,14 @@ def project_sample_packed(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        # 2 planes: validity+R (f32) and G|B packed as 2xu16 (see emit_packed)
-        out_shape=jax.ShapeDtypeStruct((n, 2, r_pad, c_pad), jnp.float32),
+        # 2 int32 planes: validity + 2^-24 fixed-point R, and G|B as 2 x u16
+        # (see emit_packed — integer arithmetic only, Mosaic has no bitcast)
+        out_shape=jax.ShapeDtypeStruct((n, 2, r_pad, c_pad), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((g, c * wh, ww), src_planar.dtype),
             pltpu.SemaphoreType.DMA((g, c)),
-            pltpu.VMEM((g, 2, th, tw), jnp.float32),   # out tile staging
-            pltpu.VMEM((g, 2, th, 128), jnp.float32),  # ring sliver staging
+            pltpu.VMEM((g, 2, th, tw), jnp.int32),   # out tile staging
+            pltpu.VMEM((g, 2, th, 128), jnp.int32),  # ring sliver staging
             pltpu.SemaphoreType.DMA((g, 2)),           # bulk write sems
             pltpu.SemaphoreType.DMA,                   # shared sliver sem
         ],
@@ -1169,12 +1174,15 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
             saves a third of the stack's HBM write + window read."""
             if not val3:
                 return [swin_ref[s, ci].astype(jnp.float32) for ci in range(c)]
-            raw0 = swin_ref[s, 0].astype(jnp.float32)
-            u = jax.lax.bitcast_convert_type(swin_ref[s, 1], jnp.uint32)
-            # 2^-16 scale: exact multiply -> deterministic under any fusion
-            sg = (u >> 16).astype(jnp.float32) * (1.0 / 65536.0)
+            # int32 planes (emit_packed): R at 2^-24 fixed point, G|B as two
+            # u16 at 2^-16. Logical shift (arithmetic would sign-extend when
+            # G >= 0x8000); the power-of-two dequantizing multiplies are
+            # EXACT in f32 -> deterministic under any fusion
+            r0 = swin_ref[s, 0].astype(jnp.float32) * (1.0 / 16777216.0)
+            u = swin_ref[s, 1]
+            sg = jax.lax.shift_right_logical(u, jnp.int32(16)).astype(jnp.float32) * (1.0 / 65536.0)
             sb = (u & 0xFFFF).astype(jnp.float32) * (1.0 / 65536.0)
-            return [raw0, sg, sb]
+            return [r0, sg, sb]
 
 
         if ablate == "read_only":
@@ -1200,10 +1208,10 @@ def _make_ssd_combine_kernel(n_src: int, c: int, min_keep: int,
             not_self = (exclude_ref[0, 0] != s).astype(jnp.float32)
             samples = src_samples(s)
             if val3:
-                raw0 = samples[0]  # sample (>= 0) or -1 invisible / -2 clipped
-                vld = (raw0 >= 0.0).astype(jnp.float32) * not_self  # (ih, iw)
+                raw_i = swin_ref[s, 0]  # round(R*2^24) / -1 invisible / -2 clipped
+                vld = (raw_i >= 0).astype(jnp.float32) * not_self  # (ih, iw)
                 clip_any = jnp.maximum(
-                    clip_any, _core((raw0 < -1.5).astype(jnp.float32)) * not_self)
+                    clip_any, _core((raw_i < -1).astype(jnp.float32)) * not_self)
             else:
                 vld = vwin_ref[s].astype(jnp.float32) * not_self  # (ih, iw)
             cnt = _box(vld)

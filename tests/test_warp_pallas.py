@@ -269,13 +269,15 @@ def test_packed_pipeline_bit_exact():
         not_self = (jnp.arange(4) != 0).astype(clipped.dtype)
         any_clip = jnp.max(clipped * not_self[:, None, None], axis=0) > 0
         c_old = jnp.where(any_clip, cost_ops.FLT_MAX, c_raw)
-        # the bit-exact oracle: G/B quantized on the host with the SAME
-        # k * (1/65535) arithmetic the combine kernel's unpack performs
+        # the bit-exact oracle: R/G/B quantized on the host with the SAME
+        # fixed-point arithmetic the combine kernel's unpack performs
+        # (R at 2^-24, G/B at 2^-16 — exact power-of-two multiplies)
+        r_q = jnp.round(sampled[:, :1] * 16777216.0) * np.float32(1.0 / 16777216.0)
         gb_q = (
             jnp.minimum(jnp.round(jnp.clip(sampled[:, 1:], 0.0, 1.0) * 65536.0), 65535.0)
             * np.float32(1.0 / 65536.0)
         )
-        sampled_q = jnp.concatenate([sampled[:, :1], gb_q], axis=1)
+        sampled_q = jnp.concatenate([r_q, gb_q], axis=1)
         c_q, f_q = warp_pallas.ssd_combine(
             sampled_q, k_valid, dst_planar, variance, 0, **kw)
         c_q = jnp.where(any_clip, cost_ops.FLT_MAX, c_q)
@@ -290,9 +292,9 @@ def test_packed_pipeline_bit_exact():
         fin_q = np.isfinite(cq) & (cq < 1e30)
         fin_n = np.isfinite(cn) & (cn < 1e30)
         assert (fin_q == fin_n).all(), (w, h)
-        # the 2^-16 dequantizing multiply is exact in f32, so the packed
-        # path is BIT-identical to the host-quantized composition — FMA
-        # grouping cannot perturb an exact product
+        # the power-of-two dequantizing multiplies are exact in f32, so the
+        # packed path is BIT-identical to the host-quantized composition —
+        # FMA grouping cannot perturb an exact product
         assert (cq[fin_q] == cn[fin_q]).all(), (
             w, h, np.abs(cq[fin_q] - cn[fin_q]).max())
         assert (np.asarray(f_q) == np.asarray(f_new)).all(), (w, h)
@@ -306,15 +308,16 @@ def test_packed_pipeline_bit_exact():
         assert np.median(rel) < 1e-3, (w, h, np.median(rel))
         assert np.percentile(rel, 99) < 0.05, (w, h, np.percentile(rel, 99))
 
-        # ring parity: reflect-101 of the interior. Plane 0 embeds validity
-        # (sample >= 0 / -1 invisible / -2 clipped) and the exact R sample;
-        # plane 1 packs G|B as 2 x u16 — compare the unpacked planes against
-        # the host-quantized stack.
+        # ring parity: reflect-101 of the interior. Plane 0 (int32) embeds
+        # validity (>= 0 valid / -1 invisible / -2 clipped) and R at 2^-24
+        # fixed point; plane 1 packs G|B as 2 x u16 — compare the unpacked
+        # planes against the host-quantized stack.
         sp_full = np.asarray(sampled_p)
+        assert sp_full.dtype == np.int32, sp_full.dtype
         sp = sp_full[:, :, 8:8 + h, 128:128 + w]
         kv, cl = np.asarray(k_valid), np.asarray(clipped)
         assert np.array_equal(sp[:, 0] >= 0, kv > 0.5), (w, h)
-        assert np.array_equal(sp[:, 0] < -1.5, cl > 0.5), (w, h)
+        assert np.array_equal(sp[:, 0] < -1, cl > 0.5), (w, h)
 
         def unpack(plane):
             u = plane.view(np.uint32)
@@ -322,18 +325,15 @@ def test_packed_pipeline_bit_exact():
                 [(u >> 16).astype(np.float32) * np.float32(1.0 / 65536.0),
                  (u & 0xFFFF).astype(np.float32) * np.float32(1.0 / 65536.0)], 1)
 
-        r_masked = np.where(sp[:, 0] >= 0, sp[:, 0], 0.0)
-        assert np.array_equal(r_masked, np.asarray(sampled)[:, 0]), (w, h)
+        r_unpacked = sp[:, 0].astype(np.float32) * np.float32(1.0 / 16777216.0)
+        r_masked = np.where(sp[:, 0] >= 0, r_unpacked, 0.0)
+        assert np.array_equal(r_masked, np.asarray(sampled_q)[:, 0]), (w, h)
         gb = unpack(np.ascontiguousarray(sp[:, 1]))
         gb_masked = np.where(sp[:, 0:1] >= 0, gb, 0.0)
         assert np.array_equal(gb_masked, np.asarray(sampled_q)[:, 1:]), (w, h)
-        # reflect ring holds bit-wise on both planes (pure data copies).
-        # Compare uint32 views: packed G|B lanes can be NaN bit patterns,
-        # and float equality would reject them
-        bits = np.ascontiguousarray(sp_full).view(np.uint32)
-        zero_bits = np.zeros((), np.float32).view(np.uint32)
+        # reflect ring holds bit-wise on both planes (pure integer copies)
         valid_full = sp_full[:, 0:1] >= 0
-        ring = np.where(valid_full, bits, zero_bits)
+        ring = np.where(valid_full, sp_full, 0)
         spm = ring[:, :, 8:8 + h, 128:128 + w]
         assert np.array_equal(ring[:, :, 7, 128:128 + w], spm[:, :, 1, :]), (w, h)
         assert np.array_equal(ring[:, :, 8 + h, 128:128 + w], spm[:, :, h - 2, :]), (w, h)
