@@ -193,7 +193,7 @@ def main():
     # see the GT point.
     from facebook360_dep_tpu.ops import cost as costmod
 
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def _coverage_for(cams, gt_d, di):
         cdst = jax.tree.map(lambda a: a[di], cams)
 
@@ -435,7 +435,7 @@ def main():
         pub_spread = (pub_times[-1] - pub_times[0]) / len(pub_cams)
     log(
         f"{elapsed()} publish path: {t_pub:.3f}s/frame-camera "
-        f"(median of 3, spread {pub_spread:.3f}s, pool over {len(pub_cams)} cams)"
+        f"(median of {len(pub_times)}, spread {pub_spread:.3f}s, pool over {len(pub_cams)} cams)"
     )
 
     print(

@@ -31,6 +31,7 @@ present; the cross-camera drop-2-worst reduction is sort-free
 
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple
 
 import jax
@@ -299,7 +300,17 @@ def auto_window(src_cams, dst_cams, dst_hw, src_hw=None,
 
     ww = 256 if mx <= 1.5 else 128 * math.ceil((128.0 * mx + 130.0) / 128.0)
     wh = 40 if my <= 1.25 else 8 * math.ceil((24.0 * my + 10.0) / 8.0)
-    return min(max(ww, 256), 512), min(max(wh, 40), 64)
+    ww_c, wh_c = min(max(ww, 256), 512), min(max(wh, 40), 64)
+    if ww > ww_c or wh > wh_c:
+        # The formula only measures the diagonal Jacobian terms; when it
+        # already exceeds the hardware cap (or cross-derivative shear adds
+        # more), clipping stays SAFE (FLT_MAX cost, carried disparity) but
+        # coverage can silently degrade — make extreme rigs diagnosable.
+        logging.getLogger(__name__).warning(
+            "auto_window: computed window %dx%d exceeds cap %dx%d "
+            "(p99.5 warp magnification mx=%.2f my=%.2f); sampler clipping "
+            "may degrade coverage on this rig", ww, wh, ww_c, wh_c, mx, my)
+    return ww_c, wh_c
 
 
 def cost_for_disparity(ctx: CostContext, disparity, window=None) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -26,6 +26,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -416,7 +417,16 @@ extern "C" int simplify_mesh(
     const int excess = initial - deleted_triangles - target_faces;
     stalled_passes =
         deleted_this_pass * 100 < excess ? stalled_passes + 1 : 0;
-    if (stalled_passes >= 6) break;
+    if (stalled_passes >= 6) {
+      if (excess > 0) {
+        // make the over-budget early exit visible (callers also see rc=1)
+        std::fprintf(stderr,
+                     "simplify: stagnation break with %d faces over the "
+                     "%d-face target (border/flip-locked mesh)\n",
+                     excess, target_faces);
+      }
+      break;
+    }
   }
 
   // compact output

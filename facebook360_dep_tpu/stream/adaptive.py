@@ -227,7 +227,6 @@ def build_adaptive_faces(
     if nty and ntx:
         # per-side edge steps: min(self, neighbor); image border -> self
         def nbr(axis: int, direction: int) -> np.ndarray:
-            pad = np.ones_like(step)  # outside tiles behave as fine=1? no:
             # outside the tiled region means image border or partial strip;
             # partial strips are step 1 (fine), true image borders need no
             # stitching -> treat as self
@@ -248,7 +247,6 @@ def build_adaptive_faces(
                     out[:, :-1], out[:, -1] = s[:, 1:], s[:, -1]
                 if direction > 0 and (w - 1) % TILE:
                     out[:, -1] = 1
-            del pad
             return out
 
         se_top = np.minimum(step, nbr(0, -1))

@@ -123,7 +123,6 @@ def test_tear_region_matches_reference_triangulation():
     tear_row = h // 2 - 1  # quad row crossing the jump
     def faces_in_rows(f, rows):
         vy = (f // w)
-        sel = np.isin(vy, rows).all(1) | (np.isin(vy, rows).sum(1) >= 2)
         return f[np.isin(vy.min(1), rows)]
 
     # only faces whose top row is in the fine tile band around the tear;
