@@ -43,12 +43,34 @@ def align_image(img_rgb, cam_r, cam_g, cam_b):
     return np.asarray(out)
 
 
+def derive_channel_rig(calibrated_green: cam.Rig, ref_green: cam.Camera,
+                       ref_channel: cam.Camera) -> cam.Rig:
+    """Per-channel rig from the calibrated green rig + single-camera channel
+    reference: transfer the channel/green focal ratio and the channel's
+    distortion onto each calibrated camera (AlignColors.cpp:80-95)."""
+    ratio = float(np.asarray(ref_channel.focal)[0] / np.asarray(ref_green.focal)[0])
+    cams = calibrated_green.cameras
+    n = np.asarray(cams.focal).shape[0]
+    cams = cams._replace(
+        focal=np.asarray(cams.focal) * ratio,
+        distortion=np.broadcast_to(
+            np.asarray(ref_channel.distortion)[None], np.asarray(cams.distortion).shape
+        ).copy(),
+        distortion_max=np.broadcast_to(np.asarray(ref_channel.distortion_max), (n,)).copy(),
+    )
+    return calibrated_green._replace(cameras=cams)
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--rig_red", required=True, help="red-channel rig calibration")
     p.add_argument("--rig_green", required=True, help="green-channel rig calibration")
     p.add_argument("--rig_blue", required=True, help="blue-channel rig calibration")
+    p.add_argument("--calibrated_rig", default="", help=(
+        "calibrated green rig: per-camera R/B rigs are derived from it via "
+        "the channel/green focal ratio + channel distortion "
+        "(AlignColors.cpp:35,80-95); empty = treat rig_red/blue as full rigs"))
     p.add_argument("--color", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--first", default="000000")
@@ -59,6 +81,12 @@ def main(argv=None):
     rig_r = cam.normalize_rig(cam.filter_destinations(cam.load_rig(args.rig_red), args.cameras))
     rig_g = cam.normalize_rig(cam.filter_destinations(cam.load_rig(args.rig_green), args.cameras))
     rig_b = cam.normalize_rig(cam.filter_destinations(cam.load_rig(args.rig_blue), args.cameras))
+    if args.calibrated_rig:
+        cal_g = cam.normalize_rig(
+            cam.filter_destinations(cam.load_rig(args.calibrated_rig), args.cameras))
+        rig_r = derive_channel_rig(cal_g, rig_g.camera(0), rig_r.camera(0))
+        rig_b = derive_channel_rig(cal_g, rig_g.camera(0), rig_b.camera(0))
+        rig_g = cal_g
 
     def f32(c):
         return jax.tree.map(

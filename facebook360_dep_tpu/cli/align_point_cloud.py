@@ -111,7 +111,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--point_cloud", required=True, help="xyz[+...] text point cloud (.pts/.xyz)")
     p.add_argument("--rig_in", required=True)
-    p.add_argument("--rig_out", required=True)
+    p.add_argument("--rig_out", default="")
+    p.add_argument("--output_rig", default="", help="alias of --rig_out (res/flags usage)")
+    p.add_argument("--color", default="", help=(
+        "color frames (reference scores lidar matches against color, "
+        "AlignPointCloud.cpp:46-53; this implementation matches rendered "
+        "depth so color is accepted for flag parity)"))
     p.add_argument("--disparity", required=True, help="per-camera disparity root")
     p.add_argument("--frame", default="000000")
     p.add_argument("--cameras", default="", help="comma-separated camera subset")
@@ -133,8 +138,10 @@ def main(argv=None):
     )
     log.info("final: scale %.6f, translation %s, median distance %.6f", s, t, median)
     aligned = rig_tools.transform_rig(rig, r, t, s)
-    cam.save_rig(args.rig_out, aligned)
-    log.info("wrote %s", args.rig_out)
+    rig_out = args.rig_out or args.output_rig
+    assert rig_out, "--rig_out (or --output_rig) is required"
+    cam.save_rig(rig_out, aligned)
+    log.info("wrote %s", rig_out)
     return median
 
 

@@ -91,6 +91,15 @@ def add_geo_flags(p, include_io=True):
     p.add_argument("--debug_dir", default="",
                    help="write match overlays + reprojection renders here (showMatches/showReprojections)")
     p.add_argument("--image_root", default="", help="imagery root for debug overlays")
+    if include_io:
+        # Calibration.cpp:11-14 defines these on the combined binary; the
+        # standalone GeometricCalibration links the same TUs
+        p.add_argument("--color", default="", help="imagery root (alias of --image_root)")
+        p.add_argument("--frame", default="000000", help="frame for debug overlays")
+    p.add_argument("--enable_timing", type=_bool, default=False,
+                   help="log per-pass wall-clock (GeometricCalibration.cpp --enable_timing)")
+    p.add_argument("--log_verbose", type=_bool, default=False,
+                   help="DEBUG-level solver logging (ceres verbose equivalent)")
 
 
 def run_geometric_calibration(args) -> float:
@@ -137,7 +146,16 @@ def run_geometric_calibration(args) -> float:
         debug_dir=args.debug_dir,
         image_root=args.image_root or getattr(args, "color", ""),
     )
+    if getattr(args, "log_verbose", False):
+        logging.getLogger("facebook360_dep_tpu.calib").setLevel(logging.DEBUG)
+    import time
+
+    t0 = time.perf_counter()
     solved, median = geo.geometric_calibration(rig, feats, overlaps, opts)
+    if getattr(args, "enable_timing", False):
+        # reference format: boost::timer at GeometricCalibration.cpp:1196-1198
+        log.info("-- Elapsed time: %.3f s (refine, %d passes)",
+                 time.perf_counter() - t0, args.pass_count)
     cam.save_rig(args.rig_out, solved)
     report = geo.rig_rmse_report(solved, ground_truth)
     log.info("median reprojection error: %.4f px; rmse vs rig_in: %s", median, report)
@@ -148,7 +166,15 @@ def main_match_corners(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     p = argparse.ArgumentParser(description="MatchCorners equivalent")
     add_match_flags(p)
-    run_match_corners(p.parse_args(argv))
+    p.add_argument("--enable_timing", type=_bool, default=False,
+                   help="log wall-clock (FeatureMatcher timing counters)")
+    args = p.parse_args(argv)
+    import time
+
+    t0 = time.perf_counter()
+    run_match_corners(args)
+    if args.enable_timing:
+        log.info("-- Elapsed time: %.3f s (matchCorners)", time.perf_counter() - t0)
 
 
 def main_geometric(argv=None):

@@ -173,6 +173,8 @@ def main(argv=None):
     p.add_argument("--depth_scale", type=float, default=1.0)
     p.add_argument("--gamma_correction", type=float, default=2.2 / 1.8)
     p.add_argument("--run_conversion", type=lambda v: str(v).lower() in ("1", "true"), default=True)
+    p.add_argument("--fuse_strip", type=int, default=0,
+                   help="number of strip files (ConvertToBinary.cpp:74); overrides --num_disks")
     p.add_argument("--num_disks", type=int, default=1)
     p.add_argument("--threads", type=int, default=-1)
     args = p.parse_args(argv)
@@ -204,7 +206,8 @@ def main(argv=None):
 
     if args.fused:
         exts = [f".{f}" for f in ("vtx", "idx", "bc7", "rgba") if f in formats]
-        fusion.fuse_frames(args.bin, args.fused, rig.ids, frames, exts, args.num_disks)
+        num_disks = args.fuse_strip if args.fuse_strip > 0 else args.num_disks
+        fusion.fuse_frames(args.bin, args.fused, rig.ids, frames, exts, num_disks)
         log.info("fused %d frames into %s", len(frames), args.fused)
 
 

@@ -18,6 +18,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--catalog", required=True, help="fused.json catalog path")
     p.add_argument("--strip_files", default="", help="comma-separated stripe files (default: catalog dir)")
+    p.add_argument("--disks", default="", help=(
+        "alias of --strip_files (the canonical res/flags/gl_viewer.flags "
+        "uses --disks; the reference binary itself defines --strip_files, "
+        "GlViewer.cpp:43)"))
     p.add_argument("--readahead", type=int, default=3, help="frames to read ahead (GlViewer.cpp:44)")
     p.add_argument("--rig", required=True, help="path to rig .json")
     p.add_argument("--port", type=int, default=8666)
@@ -30,7 +34,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     fused_dir = os.path.dirname(os.path.abspath(args.catalog))
-    num_disks = len([s for s in args.strip_files.split(",") if s]) or 1
+    strip_files = args.strip_files or args.disks
+    num_disks = len([s for s in strip_files.split(",") if s]) or 1
     from ..viewer import server
 
     httpd = server.serve(args.rig, fused_dir, num_disks, args.port, args.readahead)

@@ -42,6 +42,16 @@ def main(argv=None):
     p.add_argument("--force_recompute", type=lambda v: str(v).lower() in ("1", "true"), default=False)
     p.add_argument("--run_depth_estimation", type=lambda v: str(v).lower() in ("1", "true"), default=True)
     p.add_argument("--run_convert_to_binary", type=lambda v: str(v).lower() in ("1", "true"), default=True)
+    p.add_argument("--run_fusion", type=lambda v: str(v).lower() in ("1", "true"), default=True)
+    p.add_argument("--run_generate_foreground_masks",
+                   type=lambda v: str(v).lower() in ("1", "true"), default=True,
+                   help="gate the mask stage (also requires --use_foreground_masks)")
+    p.add_argument("--run_precompute_resizes",
+                   type=lambda v: str(v).lower() in ("1", "true"), default=True)
+    p.add_argument("--master", default="", help=(
+        "accepted for render.flags parity: the reference's RabbitMQ master "
+        "IP; this farm's control plane is a shared-filesystem broker "
+        "(--queue_dir), which has no host address"))
     p.add_argument("--queue_dir", default="", help=(
         "shared-filesystem broker root: publish chunk jobs for standalone "
         "farm.worker processes on any host instead of running locally "
@@ -67,7 +77,9 @@ def main(argv=None):
 
     # resize stage: only if levels are absent but full-res color exists
     full_color = imagetypes.image_dir(args.input_root, "color")
-    if not os.path.isdir(os.path.join(color_levels, "level_0")) and os.path.isdir(full_color):
+    if (args.run_precompute_resizes
+            and not os.path.isdir(os.path.join(color_levels, "level_0"))
+            and os.path.isdir(full_color)):
         stages.append(
             runner.Stage(
                 name="precompute_resizes",
@@ -80,7 +92,7 @@ def main(argv=None):
             )
         )
 
-    if args.use_foreground_masks:
+    if args.use_foreground_masks and args.run_generate_foreground_masks:
         fg = imagetypes.image_dir(args.input_root, "foreground_masks")
         stages.append(
             runner.Stage(
@@ -169,23 +181,24 @@ def main(argv=None):
                 ),
             )
         )
-        stages.append(
-            runner.Stage(
-                name="fusion",
-                outputs=lambda c: [os.path.join(fused_dir, "fused.json")],
-                command=lambda c: runner.python_module_command(
-                    "convert_to_binary",
-                    {
-                        "rig": rig_path,
-                        "bin": bin_dir,
-                        "fused": fused_dir,
-                        "run_conversion": "false",
-                        "first": io.frame_name(int(args.first)),
-                        "last": io.frame_name(int(args.last)),
-                    },
-                ),
+        if args.run_fusion:
+            stages.append(
+                runner.Stage(
+                    name="fusion",
+                    outputs=lambda c: [os.path.join(fused_dir, "fused.json")],
+                    command=lambda c: runner.python_module_command(
+                        "convert_to_binary",
+                        {
+                            "rig": rig_path,
+                            "bin": bin_dir,
+                            "fused": fused_dir,
+                            "run_conversion": "false",
+                            "first": io.frame_name(int(args.first)),
+                            "last": io.frame_name(int(args.last)),
+                        },
+                    ),
+                )
             )
-        )
     elif args.format != "6dof":
         export_dir = imagetypes.image_dir(args.output_root, f"exports_{args.format}")
         stages.append(

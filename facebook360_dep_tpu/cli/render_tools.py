@@ -70,6 +70,9 @@ def generate_equirect(args):
 def generate_camera_overlaps(args):
     rig = cam.filter_destinations(cam.load_rig(args.rig), args.cameras)
     colors = np.stack([_load(args.color, cid, args.frame, io.read_color)[..., :3] for cid in rig.ids])
+    if 0 < args.scale < 1.0:
+        step = max(1, int(round(1.0 / args.scale)))
+        colors = colors[:, ::step, ::step]
     h, w = colors.shape[1:3]
     cams = _cams_f32(rig, (h, w))
     os.makedirs(args.output, exist_ok=True)
@@ -99,25 +102,35 @@ def geometric_consistency(args):
     from ..depth import pipeline as dp, solver
 
     rig = cam.load_rig(args.rig)
-    colors = np.stack([_load(args.color, cid, args.frame, io.read_color)[..., :3] for cid in rig.ids])
-    disps = np.stack([_load(args.disparity, cid, args.frame, io.read_disparity) for cid in rig.ids])
-    nrig = cam.normalize_rig(rig)
-    fov = dp.generate_fov_masks(nrig, disps.shape[1:3])
-    ctx = solver.make_level_context(nrig, nrig, colors, fov)
-    cfg = solver.SolverConfig(mismatches_start_level=0, level=0, num_levels=2)
-    out = np.asarray(disps)
-    for it in range(args.iterations):
-        out, mask = solver.handle_mismatches(ctx, cfg, jnp.asarray(out))
-        out = np.asarray(out)
-        log.info("iteration %d: %.2f%% pixels adjusted", it, 100.0 * np.asarray(mask).mean())
-    for i, cid in enumerate(rig.ids):
-        d = os.path.join(args.output, cid)
-        os.makedirs(d, exist_ok=True)
-        io.write_disparity(os.path.join(d, args.frame + ".pfm"), out[i])
+    first = args.first or args.frame
+    last = args.last or first
+    for fno in range(int(first), int(last) + 1):
+        frame = io.frame_name(fno)
+        colors = np.stack([_load(args.color, cid, frame, io.read_color)[..., :3] for cid in rig.ids])
+        disps = np.stack([_load(args.disparity, cid, frame, io.read_disparity) for cid in rig.ids])
+        nrig = cam.normalize_rig(rig)
+        fov = dp.generate_fov_masks(nrig, disps.shape[1:3])
+        ctx = solver.make_level_context(nrig, nrig, colors, fov)
+        cfg = solver.SolverConfig(mismatches_start_level=0, level=0, num_levels=2)
+        out = np.asarray(disps)
+        for it in range(args.iterations):
+            out, mask = solver.handle_mismatches(ctx, cfg, jnp.asarray(out))
+            out = np.asarray(out)
+            log.info("%s iteration %d: %.2f%% pixels adjusted",
+                     frame, it, 100.0 * np.asarray(mask).mean())
+        for i, cid in enumerate(rig.ids):
+            d = os.path.join(args.output, cid)
+            os.makedirs(d, exist_ok=True)
+            io.write_disparity(os.path.join(d, frame + ".pfm"), out[i])
 
 
 def generate_keypoint_projections(args):
-    rig = cam.filter_destinations(cam.load_rig(args.rig), args.cameras)
+    rig_path = args.rig or args.camera_rig
+    output = args.output or args.output_dir
+    assert rig_path, "--rig (or --camera_rig) is required"
+    assert output, "--output (or --output_dir) is required"
+    args.output = output
+    rig = cam.filter_destinations(cam.load_rig(rig_path), args.cameras)
     w, h = (int(v) for v in np.asarray(rig.cameras.resolution)[0])
     cams = _cams_f32(rig, (h, w))
     rng = np.linspace(-args.extent, args.extent, args.grid)
@@ -161,6 +174,8 @@ def main(argv=None):
     s.add_argument("--frame", default="000000")
     s.add_argument("--depth", type=float, default=10.0)
     s.add_argument("--min_overlap", type=float, default=0.1)
+    s.add_argument("--scale", type=float, default=1.0,
+                   help="image scale factor before overlap render")
     s.set_defaults(fn=generate_camera_overlaps)
 
     s = sub.add_parser("geometric_consistency")
@@ -169,12 +184,18 @@ def main(argv=None):
     s.add_argument("--disparity", required=True)
     s.add_argument("--output", required=True)
     s.add_argument("--frame", default="000000")
+    s.add_argument("--first", default="", help="first frame (overrides --frame)")
+    s.add_argument("--last", default="", help="last frame")
     s.add_argument("--iterations", type=int, default=2)
     s.set_defaults(fn=geometric_consistency)
 
     s = sub.add_parser("generate_keypoint_projections")
-    s.add_argument("--rig", required=True)
-    s.add_argument("--output", required=True)
+    s.add_argument("--rig", default="")
+    s.add_argument("--camera_rig", default="", help=(
+        "alias of --rig (the canonical res/flags file uses --camera_rig; "
+        "the binary defines --rig, GenerateKeypointProjections.cpp:37)"))
+    s.add_argument("--output", default="")
+    s.add_argument("--output_dir", default="", help="alias of --output (reference name)")
     s.add_argument("--cameras", default="")
     s.add_argument("--grid", type=int, default=10)
     s.add_argument("--extent", type=float, default=10.0)

@@ -150,6 +150,148 @@ def make_outward_ring_rig(
     return cam.Rig(cameras=cam.stack_cameras(cams), ids=tuple(ids), groups=("",) * num_cameras)
 
 
+def _looking_camera(type_code, fwd, position, resolution, focal,
+                    distortion=(0.0, 0.0, 0.0), cos_fov=None):
+    """Camera with rotation rows [right, up, -fwd] from a forward direction
+    and world-up z (ringOfClones / makeFThetaCameraOnSphere, RigSimulator)."""
+    fwd = np.asarray(fwd, np.float64)
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(up, fwd)) > 0.99:
+        up = np.array([1.0, 0.0, 0.0])
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    return cam.make_camera(
+        type_code=type_code,
+        position=position,
+        rotation=np.stack([right, up, -fwd], axis=0),
+        resolution=list(resolution),
+        focal=focal,
+        distortion=distortion,
+        cos_fov=cos_fov,
+    )
+
+
+# reference production-rig distortion (res/test/rigs/rig.json, 16-cam FTHETA):
+# sensor-unit radial polynomial coefficients, resolution independent
+PRODUCTION_FTHETA_DISTORTION = (-0.03413328161902581, 0.0004374554953464843,
+                                -0.0018843963208481174)
+
+
+def _ftheta_focal(resolution, image_circle_radius_px, circle_fov_deg):
+    """makeGenericFTheta (RigSimulator.cpp:389-398): focal such that the
+    image circle radius lands at half the circle FOV: f = 2 R / fov_rad."""
+    f = 2.0 * image_circle_radius_px / np.radians(circle_fov_deg)
+    return [f, -f]
+
+
+def make_ftheta_ring_rig(
+    num_cameras: int = 14,
+    ring_radius: float = 0.33,
+    resolution=(300, 400),
+    image_circle_radius_px: float | None = None,
+    circle_fov_deg: float = 166.667,
+    distortion=(0.0, 0.0, 0.0),
+    add_top: bool = True,
+    top_offset: float = 0.13,
+) -> cam.Rig:
+    """Outward FTHETA fisheye ring + optional up-facing top camera — the
+    reference's production rig shape (RigSimulator makeHorizontalRingOf
+    FThetaCameras + addTopCamera; res/test/rigs/rig.json is this with 16
+    side cameras). The fisheye FOV exceeds a hemisphere (166.7 deg at the
+    image circle), so adjacent cameras share wide overlap bands exactly
+    where the FTHETA Jacobian stretches."""
+    w, h = resolution
+    r_px = image_circle_radius_px if image_circle_radius_px is not None else 0.83 * min(w, h) / 2
+    focal = _ftheta_focal(resolution, r_px, circle_fov_deg)
+    cos_fov = float(np.cos(np.radians(circle_fov_deg) / 2))
+    cams, ids = [], []
+    for k in range(num_cameras):
+        a = -2 * np.pi * k / num_cameras  # clockwise, ringOfClones
+        fwd = np.array([np.cos(a), np.sin(a), 0.0])
+        cams.append(_looking_camera(
+            cam.FTHETA, fwd, ring_radius * fwd, resolution, focal,
+            distortion, cos_fov))
+        ids.append(f"cam{k}")
+    if add_top:
+        cams.append(_looking_camera(
+            cam.FTHETA, (0.0, 0.0, 1.0), (0.0, 0.0, top_offset), resolution,
+            focal, distortion, cos_fov))
+        ids.append(f"cam{num_cameras}")
+    return cam.Rig(cameras=cam.stack_cameras(cams), ids=tuple(ids), groups=("",) * len(ids))
+
+
+# icosahedron vertices (unit-ish): cyclic permutations of (0, +-1, +-phi)
+_PHI = (1.0 + np.sqrt(5.0)) / 2.0
+ICOSAHEDRON_VERTS = np.array(
+    [(0, s1, s2 * _PHI) for s1 in (-1, 1) for s2 in (-1, 1)]
+    + [(s2 * _PHI, 0, s1) for s1 in (-1, 1) for s2 in (-1, 1)]
+    + [(s1, s2 * _PHI, 0) for s1 in (-1, 1) for s2 in (-1, 1)],
+    np.float64,
+)
+# dodecahedron vertices: (+-1,+-1,+-1) + cyclic perms of (0, +-1/phi, +-phi)
+DODECAHEDRON_VERTS = np.array(
+    [(a, b, c) for a in (-1, 1) for b in (-1, 1) for c in (-1, 1)]
+    + [(0, s1 / _PHI, s2 * _PHI) for s1 in (-1, 1) for s2 in (-1, 1)]
+    + [(s2 * _PHI, 0, s1 / _PHI) for s1 in (-1, 1) for s2 in (-1, 1)]
+    + [(s1 / _PHI, s2 * _PHI, 0) for s1 in (-1, 1) for s2 in (-1, 1)],
+    np.float64,
+)
+
+
+def make_polyhedron_rig(
+    kind: str = "dodecahedron",
+    sphere_radius: float = 0.25,
+    resolution=(300, 400),
+    image_circle_radius_px: float | None = None,
+    circle_fov_deg: float = 166.667,
+    distortion=(0.0, 0.0, 0.0),
+) -> cam.Rig:
+    """FTHETA cameras at platonic-solid vertices pointing outward
+    (RigSimulator makeDodecahedronOfFThetaCameras: 12 cams at icosahedron
+    vertices; makeIcosahedronOfFThetaCameras: 20 at dodecahedron verts)."""
+    verts = ICOSAHEDRON_VERTS if kind == "dodecahedron" else DODECAHEDRON_VERTS
+    w, h = resolution
+    r_px = image_circle_radius_px if image_circle_radius_px is not None else 0.83 * min(w, h) / 2
+    focal = _ftheta_focal(resolution, r_px, circle_fov_deg)
+    cos_fov = float(np.cos(np.radians(circle_fov_deg) / 2))
+    cams, ids = [], []
+    for k, v in enumerate(verts):
+        n = v / np.linalg.norm(v)
+        cams.append(_looking_camera(
+            cam.FTHETA, n, sphere_radius * n, resolution, focal, distortion, cos_fov))
+        ids.append(f"cam{k}")
+    return cam.Rig(cameras=cam.stack_cameras(cams), ids=tuple(ids), groups=("",) * len(ids))
+
+
+def render_ods_equirect(width: int, height: int, ipd_radius: float = 0.032,
+                        scene: str = "sphere", radius: float = 5.0,
+                        half_extents=(6.0, 6.0, 3.0), seed: int = 7):
+    """Omni-directional-stereo equirect pair (RigSimulator stereo_eqr mode,
+    renderStereoEquirect): each column's eye sits on the view circle of
+    radius ``ipd_radius``, offset along the local horizontal tangent."""
+    from . import dibr
+
+    dirs = dibr.equirect_dirs(width, height)  # (H, W, 3) unit
+    up = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    tang = jnp.cross(jnp.broadcast_to(up, dirs.shape), dirs)
+    tn = jnp.linalg.norm(tang, axis=-1, keepdims=True)
+    tang = jnp.where(tn > 1e-6, tang / jnp.maximum(tn, 1e-6), 0.0)  # poles: mono
+
+    def eye(sign):
+        origins = sign * ipd_radius * tang
+        if scene == "box":
+            t = ray_box_depth(origins, dirs, half_extents)
+        else:
+            t = ray_sphere_depth(origins, dirs, (0.0, 0.0, 0.0), radius)
+        hit = origins + dirs * t[..., None]
+        tex = hit / jnp.maximum(jnp.linalg.norm(hit, axis=-1, keepdims=True), 1e-9)
+        return procedural_texture(tex, seed, octaves=7 if scene == "box" else 6)
+
+    return np.asarray(eye(-1.0)), np.asarray(eye(1.0))
+
+
 def ray_box_depth(origins, dirs, half_extents=(6.0, 6.0, 3.0), center=(0.0, 0.0, 0.0)):
     """Distance along each ray to the inside of an axis-aligned box
     (rays start inside; the reference's textured box/ceiling world,
