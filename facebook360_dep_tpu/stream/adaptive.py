@@ -168,7 +168,27 @@ def build_adaptive_faces(
 ) -> np.ndarray:
     """(F, 3) uint32 faces over the (H, W) vertex grid: full-resolution torn
     triangulation (reference semantics) near tears/mask edges, coarse
-    crack-free LOD tiles elsewhere. See module docstring."""
+    crack-free LOD tiles elsewhere. See module docstring.
+
+    Dispatches to the native single-pass builder (_native/adaptive_native.cpp,
+    same face set — parity-pinned); the numpy implementation below is the
+    executable spec and the fallback."""
+    from . import native
+
+    try:
+        zf = np.where(valid, z, np.nan).astype(np.float32)
+        return native.build_adaptive_faces(zf, tear_ratio, tol_rel)
+    except Exception:  # toolchain missing: run the numpy spec
+        return build_adaptive_faces_numpy(z, valid, tear_ratio, tol_rel)
+
+
+def build_adaptive_faces_numpy(
+    z: np.ndarray,
+    valid: np.ndarray,
+    tear_ratio: float = 0.95,
+    tol_rel: float = 2e-4,
+) -> np.ndarray:
+    """Vectorized-numpy reference implementation of build_adaptive_faces."""
     from . import mesh as mesh_mod
 
     h, w = z.shape

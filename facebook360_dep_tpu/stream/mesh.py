@@ -29,14 +29,18 @@ _TRIANGLES = {
 def get_vertexes_equi_error(depth: np.ndarray, camera: cam.Camera) -> np.ndarray:
     """(H*W, 3) equi-error vertices: (x, y) in full-camera pixel units and
     z = focal / depth, so quadric simplification treats depth and image-plane
-    errors equally (MeshUtil.h:317-341; derivation RigScene.cpp:160-186)."""
+    errors equally (MeshUtil.h:317-341; derivation RigScene.cpp:160-186).
+
+    float32 throughout like the reference's cv::Point3f grid — every
+    consumer (adaptive LOD, QEM simplify, the .vtx file) is f32, and the
+    f64 intermediate was ~1 s/frame of pure memory traffic at 2K."""
     h, w = depth.shape
     res = np.asarray(camera.resolution, np.float64)
     focal = float(np.asarray(camera.focal)[0])
-    out = np.empty((h, w, 3), np.float64)
-    out[..., 0] = (res[0] / w) * (np.arange(w, dtype=np.float64) + 0.5)
-    out[..., 1] = ((res[1] / h) * (np.arange(h, dtype=np.float64) + 0.5))[:, None]
-    np.divide(focal, depth, out=out[..., 2], dtype=np.float64)
+    out = np.empty((h, w, 3), np.float32)
+    out[..., 0] = ((res[0] / w) * (np.arange(w, dtype=np.float64) + 0.5)).astype(np.float32)
+    out[..., 1] = ((res[1] / h) * (np.arange(h, dtype=np.float64) + 0.5)).astype(np.float32)[:, None]
+    np.divide(np.float32(focal), depth.astype(np.float32, copy=False), out=out[..., 2])
     return out.reshape(-1, 3)
 
 

@@ -62,6 +62,11 @@ def _lib() -> ctypes.CDLL:
             f32, ctypes.c_int, ctypes.c_int, ctypes.c_float, u32,
         ]
         lib.build_faces.restype = ctypes.c_int
+        lib.build_adaptive_faces.argtypes = [
+            f32, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            u32, i32,
+        ]
+        lib.build_adaptive_faces.restype = ctypes.c_int
         u16 = ctypes.POINTER(ctypes.c_uint16)
         lib.piz_compress.argtypes = [
             u16, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32, u8, i32,
@@ -94,6 +99,33 @@ def build_faces(proxy: np.ndarray, tear_ratio: float) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return out[:n].copy()  # release the worst-case allocation
+
+
+def build_adaptive_faces(proxy: np.ndarray, tear_ratio: float, tol_rel: float,
+                         want_step: bool = False):
+    """Adaptive-grid LOD face emission from an (H, W) equi-error plane with
+    NaN at invalid vertices (stream/adaptive.py semantics in one native
+    pass; parity pinned by tests/test_adaptive_mesh.py). Returns (F, 3)
+    uint32 faces, or (faces, step_map) with want_step."""
+    lib = _lib()
+    proxy = np.ascontiguousarray(proxy, np.float32)
+    h, w = proxy.shape
+    out = np.empty((max((h - 1) * (w - 1) * 4, 1), 3), np.uint32)
+    nty, ntx = (h - 1) // 16, (w - 1) // 16
+    step = np.zeros((max(nty, 1), max(ntx, 1)), np.int32)
+    n = lib.build_adaptive_faces(
+        proxy.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h,
+        w,
+        float(tear_ratio),
+        float(tol_rel),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        step.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    faces = out[:n].copy()
+    if want_step:
+        return faces, step[:nty, :ntx]
+    return faces
 
 
 def simplify_mesh(

@@ -218,3 +218,48 @@ def test_convert_depth_adaptive_end_to_end_quality():
         v, f = convert_depth(camera, "cam0", disparity, tmp, triangles=5000)
     assert len(f) <= 5000 * 1.0 + 1
     assert len(v) > 100
+
+
+def test_native_builder_matches_numpy_spec():
+    """The native single-pass builder (_native/adaptive_native.cpp, the
+    production publish path) must emit the exact same face SET as the
+    vectorized-numpy executable spec (build_adaptive_faces_numpy) — step
+    decisions, tear triangulation, plain-quad diagonals, and LOD-transition
+    fans included — across smooth, noisy/NaN, mixed-LOD, and sub-tile
+    grids."""
+    from facebook360_dep_tpu.stream import native
+
+    rng = np.random.default_rng(7)
+    cases = []
+    h, w = 400, 520  # smooth + tear band (the publish profile shape)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    z = 1000.0 * (0.05 + 0.3 / (1.0 + ((xx - w / 2) ** 2 + (yy - h / 2) ** 2) / (w / 4) ** 2))
+    z[h // 3: h // 3 + 10] *= 2.0
+    cases.append((z, np.ones((h, w), bool)))
+
+    h, w = 213, 339  # ragged size, noise, NaN holes
+    cases.append((500 + 50 * rng.standard_normal((h, w)).astype(np.float32),
+                  rng.random((h, w)) > 0.02))
+
+    h, w = 257, 385  # piecewise smooth: mixed steps + a mask hole + tear line
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    z = 300 + yy * 0.1 + np.sin(xx / 40) * 2
+    z[:, 200:] += 100
+    valid = np.ones((h, w), bool)
+    valid[10:20, 10:30] = False
+    cases.append((z.astype(np.float32), valid))
+
+    cases.append((100 + rng.random((14, 15)).astype(np.float32),
+                  np.ones((14, 15), bool)))  # below one tile
+
+    for z, valid in cases:
+        f_np = adaptive.build_adaptive_faces_numpy(z, valid)
+        zf = np.where(valid, z, np.nan).astype(np.float32)
+        f_cc, step = native.build_adaptive_faces(zf, 0.95, 2e-4, want_step=True)
+        a = f_np[np.lexsort(f_np.T[::-1])]
+        b = f_cc[np.lexsort(f_cc.T[::-1])]
+        assert a.shape == b.shape, (z.shape, a.shape, b.shape)
+        assert np.array_equal(a, b), z.shape
+        # the dispatcher must route to the native path
+        f_disp = adaptive.build_adaptive_faces(z, valid)
+        assert np.array_equal(f_disp, f_cc), z.shape
