@@ -113,6 +113,15 @@ def make_level_context(
         lambda c: cost_ops.dst_ray_dirs(c, h, w),
         dst_cams_f32,
     )
+    # NaN rays outside the dst FOV mask: those pixels are discarded by
+    # mask_fov anyway (Derp.cpp:940-951), but on FISHEYE rigs their rays
+    # point up to ~15 deg beyond the image circle where the warp Jacobian
+    # explodes — inside the Pallas sampler they dragged the per-tile window
+    # anchor off the real footprint and clipped IN-circle pixels of every
+    # tile straddling the circle boundary. NaN makes them kernel-invisible
+    # (finite-check -> ok0 false), on both sampler paths identically.
+    dst_fov_b = jnp.asarray(dst_fov_masks, bool)
+    dst_rays = jnp.where(dst_fov_b[..., None], dst_rays, jnp.nan)
 
     return LevelContext(
         src_cams=to_f32(rig_src.cameras),
@@ -126,20 +135,20 @@ def make_level_context(
         var_noise_floor=jnp.asarray(floor, jnp.float32),
         var_high_thresh=jnp.asarray(var_high_thresh, jnp.float32),
         dst_rays=dst_rays,
-        # f32 throughout: bf16-sampled colors corrupt the SSD of small
-        # diffs (|dst-src| ~ 1e-2 at the optimum) by ~30%, which flips
-        # proposal/ping-pong decisions at weakly-textured pixels — measured
-        # as the round-2 RMSE tail. The kernel contractions run at DEFAULT
-        # MXU precision but are built to be EXACT there (1/256 weight
-        # quantization + hi/lo window split, warp_pallas.MATMUL_PRECISION) —
-        # which requires this stack to be f32: with a bf16 stack the lo half
-        # is identically zero and the split degenerates.
-        # (colors additionally snap to k/256 when cost.SRC_QUANT_EXACT, making
-        # every value bf16-exact so the sampler runs a single contraction)
+        # Raw bf16 SAMPLED colors would corrupt the SSD of small diffs
+        # (|dst-src| ~ 1e-2 at the optimum) by ~30%, flipping proposal/
+        # ping-pong decisions at weakly-textured pixels — the round-2 RMSE
+        # tail. The contractions run at DEFAULT MXU precision but are built
+        # to be EXACT there: colors snap to k/256 when cost.SRC_QUANT_EXACT
+        # (single contraction, and with cost.SRC_STACK_BF16 the stack then
+        # STORES as bf16 losslessly — half the HBM residency and window
+        # DMA, bit-identical products); without the quantization the stack
+        # must be f32 and the sampler runs the hi/lo exactness split.
         src_imgs_t=(
-            (cost_ops.quantize_src if cost_ops.SRC_QUANT_EXACT else lambda a: a)(
-                warp_pallas.planar_for_sampling(src_imgs[..., :3]).astype(jnp.float32)
-            )
+            (
+                (lambda a: cost_ops.quantize_src(a, dtype=cost_ops.stack_dtype()))
+                if cost_ops.SRC_QUANT_EXACT else (lambda a: a)
+            )(warp_pallas.planar_for_sampling(src_imgs[..., :3]).astype(jnp.float32))
             if use_pallas_sampler
             else None
         ),

@@ -57,6 +57,12 @@ MIN_VAR = 1.0 / 12.0 / 65025.0
 LEVEL_SCALE = 0.9
 FLT_MAX = jnp.finfo(jnp.float32).max
 
+# auto_window hardware caps: the sampler's source-window scratch is
+# (3*wh, ww) f32 in VMEM, double-buffered; 512x88 keeps it ~0.5 MB and the
+# stacked window at 264 MXU rows (3 passes), paid only by rigs that need it.
+WW_CAP = 512
+WH_CAP = 88
+
 # Quantize the Pallas sampling stack to k/256 color levels at upload: every
 # value becomes exactly bf16-representable, so the sampler runs ONE MXU
 # contraction instead of the hi/lo split (warp_pallas MATMUL_PRECISION;
@@ -67,6 +73,27 @@ FLT_MAX = jnp.finfo(jnp.float32).max
 # A/B the hi/lo path (tools/ablate_single_pass.py).
 SRC_QUANT_EXACT = True
 
+# Store the Pallas sampling stack as bfloat16 (round-5 sampler lever).
+# LOSSLESS: with SRC_QUANT_EXACT every color is k/256 (k <= 256), which bf16's
+# 8 significand bits represent exactly — so this halves the source stack's HBM
+# residency and the per-tile window DMA into VMEM while every MXU product
+# (8-bit x 8-bit into an f32 accumulator) stays bit-identical to the f32
+# stack. Requires (16, 128) DMA tiling on the window's sublane axis: the
+# kernels switch their y-anchor alignment to 16 and round window rows up to a
+# multiple of 16 (auto_window sizes with y_align=16 accordingly).
+#
+# DEFAULT OFF: measured on the real v5e (tools/ab_bf16_stack.py, 2K x 16
+# src) the lever is ~5% SLOWER at every window size (packed eval 74.5 ->
+# 78.4 ms at 256x40; 100.7 -> 106.6 at 384x56; 148.5 -> 155.2 at 512x88):
+# the 16-row alignment rounds the default 40-row window up to 48 — the
+# stacked (3*wh, ww) contraction grows 120 -> 144 MXU rows, crossing the
+# 128-row pass boundary — and the window DMA it halves was already
+# pipelined behind compute (same finding as the round-4 packed stack's
+# write floor). Kept as a capability for HBM-residency-bound multi-map
+# batching; bit-exactness vs the f32 stack is pinned in interpret mode
+# (tests/test_warp_pallas.py::test_bf16_stack_bit_identical).
+SRC_STACK_BF16 = False
+
 # Pixel count above which cost_for_disparity uses the packed sampler->combine
 # layout (project_sample_packed): the packed buffers' min-768-col footprint
 # and border slivers cost more than the tiny XLA pads they avoid at small
@@ -75,9 +102,18 @@ SRC_QUANT_EXACT = True
 PACKED_MIN_PIXELS = 512 * 384
 
 
-def quantize_src(planar: jnp.ndarray) -> jnp.ndarray:
-    """Snap colors to multiples of 1/256 (exact in bf16's 8-bit significand)."""
-    return jnp.round(jnp.asarray(planar, jnp.float32) * 256.0) * (1.0 / 256.0)
+def quantize_src(planar: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Snap colors to multiples of 1/256 (exact in bf16's 8-bit significand).
+
+    ``dtype=jnp.bfloat16`` stores the quantized stack losslessly at half the
+    HBM footprint (see SRC_STACK_BF16)."""
+    return (jnp.round(jnp.asarray(planar, jnp.float32) * 256.0)
+            * (1.0 / 256.0)).astype(dtype)
+
+
+def stack_dtype():
+    """The sampling-stack dtype the solver hot path uses."""
+    return jnp.bfloat16 if (SRC_QUANT_EXACT and SRC_STACK_BF16) else jnp.float32
 
 
 class CostContext(NamedTuple):
@@ -229,87 +265,110 @@ def combine_top2(biased, unbiased, valid, variance):
 
 
 def auto_window(src_cams, dst_cams, dst_hw, src_hw=None,
-                min_depth: float = 0.5, max_depth: float = 1e4, grid: int = 33):
-    """Rig-derived sampler window size (VERDICT r3 #5).
+                min_depth: float = 0.5, max_depth: float = 1e4, grid: int = 0,
+                y_align: int | None = None):
+    """Rig-derived sampler window size (VERDICT r3 #5; span-based since r5).
 
-    The Pallas sampler covers each 128x24 dst tile with a fixed source
+    The Pallas sampler covers each (24, 128) dst tile with a fixed source
     window (defaults 256x40). Clipping is SAFE (the candidate's cost goes
     FLT_MAX and the solver keeps its carry) but a rig with sustained warp
     magnification — a dst camera whose FOV is much wider than a source's,
-    or strongly rotated outward rigs near their shared FOV edges — clips
-    persistently and silently degrades coverage there. This measures the
-    warp Jacobian (finite differences of reproject_rays on a coarse grid,
-    every (dst, src) pair, near+far disparity) and sizes the window from
-    its p99.5 over valid samples:
+    strongly rotated outward rigs near their shared FOV edges, or fisheye
+    rigs near the warp's azimuthal singularity — clips persistently and
+    silently degrades coverage there.
 
-      x: ww = 256 while p99.5 <= 1.5 (the measured-safe regime: the
-         128-col anchor alignment rarely wastes its worst case; the bench
-         forward rig measures p100 = 1.22 with 0.09%% clipping), else the
-         worst-anchor bound 128*ceil((128*m + 130)/128), capped at 512.
-      y: anchors align to 8 rows (tight), so wh = 40 while p99.5 <= 1.25,
-         else 8*ceil((24*m + 10)/8), capped at 64.
+    This measures, at FULL destination resolution, the per-tile SPAN of
+    source sampling coordinates (exactly the quantity the kernel's window
+    must cover — an earlier Jacobian-percentile heuristic under-sized
+    fisheye rigs whose grid-averaged derivatives hid local peaks) for every
+    (dst, src) pair at the near/far sweep extremes, restricted to dst
+    pixels inside the dst's own image circle (beyond-circle pixels are
+    solver-masked: make_level_context NaNs their rays). Window = smallest
+    aligned size whose span-centered-anchor guarantee covers the max span
+    (warp_pallas: x span <= ww-128, y span <= wh-8):
 
-    The >p99.5 tail rides the clip guard. Host-side, one tiny jit per
-    (dst, src-rig) shape; thread the result via SolverConfig.ww_max/wh_max.
+      x: ww = 256 while span <= 192 (the measured-safe regime: the 128-col
+         anchor alignment rarely wastes its worst case; the bench forward
+         rig spans ~158 px with 0.09%% clipping), else
+         128*ceil((span + 130)/128), capped at 512.
+      y: anchors align to ``y_align`` rows (8 for an f32 stack, 16 for the
+         bf16 stack's (16, 128) DMA tiling; default follows stack_dtype()),
+         so wh = 40 while span <= 36 (the kernel rounds 40 up to 48 under
+         16-alignment, preserving the same covered-span guarantee of 32;
+         typical alignment loses ~half its worst case, and the sub-0.1%%
+         tail rides the clip guard), else y_align*ceil((span + 2 +
+         y_align)/y_align), capped at WH_CAP rounded up to y_align (fisheye
+         ring + top camera rigs measure 74 px tile spans; 88 stacks to 264
+         MXU rows = 3 passes, paid only by rigs that need it).
+
+    Scattered candidate maps (random proposals) can still exceed the
+    smooth-map spans measured here — that tail rides the clip guard.
+    ``grid`` is accepted for backward compatibility and ignored.
+    Thread the result via SolverConfig.ww_max/wh_max.
     """
-    import numpy as _np
+    import math
+
+    from . import warp_pallas as _wp
 
     dst_hw = tuple(dst_hw)
     src_hw = dst_hw if src_hw is None else tuple(src_hw)
     h, w = dst_hw
-    sy = max(1, (h - 1) // (grid - 1))
-    sx = max(1, (w - 1) // (grid - 1))
+    th, tw = _wp.V4_TILE_H, _wp.TILE_W
+    nt_i, nt_j = -(-h // th), -(-w // tw)
+    big = jnp.float32(1e9)
     ns = len(jax.tree.leaves(src_cams.position)[0])
     n_dst = len(jax.tree.leaves(dst_cams.position)[0])
+    src_stack = jax.tree.map(jnp.asarray, src_cams)
 
     @jax.jit
-    def one_dst(cdst):
-        rays = dst_ray_dirs(cdst, h, w)[::sy, ::sx]
+    def spans_one_dst(cdst, d):
+        rays = dst_ray_dirs(cdst, h, w)
+        gridn = sampling.pixel_center_grid(h, w) / jnp.asarray([w, h], jnp.float32)
+        in_circle = ~cam.is_outside_image_circle(cdst, gridn * cdst.resolution)
 
-        def per_src(si):
-            csrc = jax.tree.map(lambda a: a[si], src_cams)
+        def tile_span(a, valid):
+            hi = jnp.pad(jnp.where(valid, a, -big),
+                         ((0, nt_i * th - h), (0, nt_j * tw - w)),
+                         constant_values=-big).reshape(nt_i, th, nt_j, tw)
+            lo = jnp.pad(jnp.where(valid, a, big),
+                         ((0, nt_i * th - h), (0, nt_j * tw - w)),
+                         constant_values=big).reshape(nt_i, th, nt_j, tw)
+            s = jnp.max(hi, axis=(1, 3)) - jnp.min(lo, axis=(1, 3))
+            return jnp.max(jnp.maximum(s, 0.0))  # empty tiles -> 0
 
-            def per_disp(d):
-                coords, valid = reproject_rays(
-                    cdst.position, rays, csrc, jnp.full(rays.shape[:2], d), src_hw
-                )
-                mx = jnp.abs(coords[:, 1:, 0] - coords[:, :-1, 0]) / sx
-                my = jnp.abs(coords[1:, :, 1] - coords[:-1, :, 1]) / sy
-                return (mx, valid[:, 1:] & valid[:, :-1],
-                        my, valid[1:] & valid[:-1])
+        def per_src(csrc):
+            coords, valid = reproject_rays(
+                cdst.position, rays, csrc, jnp.full((h, w), d, jnp.float32), src_hw
+            )
+            valid &= in_circle
+            return tile_span(coords[..., 0], valid), tile_span(coords[..., 1], valid)
 
-            ds = jnp.asarray([1.0 / max_depth, 1.0 / min_depth], jnp.float32)
-            return jax.vmap(per_disp)(ds)
+        # sequential over sources: full-res coords for the whole stack at
+        # once would be ns * H * W * 8 bytes of intermediates
+        sx, sy = jax.lax.map(per_src, src_stack)
+        return jnp.max(sx), jnp.max(sy)
 
-        return jax.vmap(per_src)(jnp.arange(ns))
-
-    mx_all, my_all = [], []
+    span_x = span_y = 0.0
     for di in range(n_dst):
-        cdst = jax.tree.map(lambda a: a[di], dst_cams)
-        mx, vx, my, vy = (
-            _np.asarray(a) for a in one_dst(jax.tree.map(jnp.asarray, cdst))
-        )
-        if vx.any():
-            mx_all.append(mx[vx])
-        if vy.any():
-            my_all.append(my[vy])
-    mx = float(_np.percentile(_np.concatenate(mx_all), 99.5)) if mx_all else 1.0
-    my = float(_np.percentile(_np.concatenate(my_all), 99.5)) if my_all else 1.0
+        cdst = jax.tree.map(lambda a: jnp.asarray(a)[di], dst_cams)
+        for d in (1.0 / max_depth, 1.0 / min_depth):
+            sx, sy = spans_one_dst(cdst, jnp.float32(d))
+            span_x = max(span_x, float(sx))
+            span_y = max(span_y, float(sy))
 
-    import math
-
-    ww = 256 if mx <= 1.5 else 128 * math.ceil((128.0 * mx + 130.0) / 128.0)
-    wh = 40 if my <= 1.25 else 8 * math.ceil((24.0 * my + 10.0) / 8.0)
-    ww_c, wh_c = min(max(ww, 256), 512), min(max(wh, 40), 64)
+    ay = (16 if stack_dtype() == jnp.bfloat16 else 8) if y_align is None else y_align
+    wh_cap = -(-WH_CAP // ay) * ay
+    ww = 256 if span_x <= 192.0 else 128 * math.ceil((span_x + 130.0) / 128.0)
+    wh = 40 if span_y <= 36.0 else ay * math.ceil((span_y + 2.0 + ay) / ay)
+    ww_c, wh_c = min(max(ww, 256), WW_CAP), min(max(wh, 40), wh_cap)
     if ww > ww_c or wh > wh_c:
-        # The formula only measures the diagonal Jacobian terms; when it
-        # already exceeds the hardware cap (or cross-derivative shear adds
-        # more), clipping stays SAFE (FLT_MAX cost, carried disparity) but
-        # coverage can silently degrade — make extreme rigs diagnosable.
+        # beyond the hardware cap the guard still holds (FLT_MAX cost,
+        # carried disparity) but coverage can silently degrade — make
+        # extreme rigs diagnosable
         logging.getLogger(__name__).warning(
             "auto_window: computed window %dx%d exceeds cap %dx%d "
-            "(p99.5 warp magnification mx=%.2f my=%.2f); sampler clipping "
-            "may degrade coverage on this rig", ww, wh, ww_c, wh_c, mx, my)
+            "(max tile span %.0fx%.0f px); sampler clipping may degrade "
+            "coverage on this rig", ww, wh, ww_c, wh_c, span_x, span_y)
     return ww_c, wh_c
 
 

@@ -357,9 +357,14 @@ V4_WINDOW_W = 256  # lane axis: origin aligned to 128 -> x-magnification <= (256
 
 def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precision=None,
                             src_exact_bf16: bool = False, g: int = 1,
-                            ablate: str = "", packed: tuple | None = None):
-    """hs/ws are the TRUE source dims; src_ref may carry (8, 128)-aligned
+                            ablate: str = "", packed: tuple | None = None,
+                            ay: int = 8):
+    """hs/ws are the TRUE source dims; src_ref may carry (ay, 128)-aligned
     edge padding beyond them (small pyramid levels).
+
+    ``ay`` is the window's y-anchor alignment = the source stack's DMA
+    sublane tile: 8 for an f32 stack, 16 for bf16 (whose (16, 128) tiling
+    makes 8-row offsets unaddressable). wh must be a multiple of ay.
 
     ``g`` sources are handled per grid step (multi-src batching): the
     per-launch fixed costs — grid sequencing, disp/rays block loads, the
@@ -463,22 +468,33 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
             n_idx = n0 + gi
             xt, yt, ok0 = project(n_idx)
 
-            # Window anchor from VALID pixels only, centered on their span.
+            # Window anchor from VALID pixels only, CENTERED on their span.
             # Invalid pixels clamp to coord 0 above; letting them into the
-            # min drags the window away from the tile's real source footprint
-            # and silently invalidates visible sources (edge tiles straddling
-            # the source boundary) — the round-2 RMSE-tail bug.
-            # (min-based anchoring keeps the strongest guaranteed span under
-            # the 128/8 alignment: x >= ww-127, y >= wh-7 from the valid min.)
+            # reduction drags the window away from the tile's real source
+            # footprint and silently invalidates visible sources (edge tiles
+            # straddling the source boundary) — the round-2 RMSE-tail bug.
+            # Span-centering (vs the earlier valid-min anchor) matters on
+            # FISHEYE rigs: near the warp's azimuthal singularity (dst rays
+            # passing close to a source's optical axis) a handful of tile
+            # pixels swing wide; a min anchor let those outliers drag the
+            # window off the tile's dense footprint and clip the BULK
+            # (measured 3.9% of visible samples on a 4-cam FTHETA ring vs
+            # 0.05% true outliers). Centering clips only the outliers.
+            # Guaranteed covered span under the 128/ay alignment: |x - xc| <=
+            # (ww-128)/2, |y - yc| <= (wh-ay)/2 — the same ww >= 128*m + 130 /
+            # wh >= 24*m + 2 + ay sizing rule auto_window already uses.
             big = jnp.float32(1e9)
             xmin = jnp.min(jnp.where(ok0, xt, big))
             ymin = jnp.min(jnp.where(ok0, yt, big))
-            xmin = jnp.where(xmin >= big, 0.0, xmin)
-            ymin = jnp.where(ymin >= big, 0.0, ymin)
-            ox = jnp.clip(xmin.astype(jnp.int32) // 128, 0, max((ws_pad - ww) // 128, 0)) * 128
-            oy = jnp.clip(ymin.astype(jnp.int32) // 8, 0, max((hs_pad - wh) // 8, 0)) * 8
+            xmax = jnp.max(jnp.where(ok0, xt, -big))
+            ymax = jnp.max(jnp.where(ok0, yt, -big))
+            none_valid = xmin >= big
+            xa = jnp.where(none_valid, 0.0, 0.5 * (xmin + xmax) - (ww - 128) * 0.5)
+            ya = jnp.where(none_valid, 0.0, 0.5 * (ymin + ymax) - (wh - ay) * 0.5)
+            ox = jnp.clip(xa.astype(jnp.int32) // 128, 0, max((ws_pad - ww) // 128, 0)) * 128
+            oy = jnp.clip(ya.astype(jnp.int32) // ay, 0, max((hs_pad - wh) // ay, 0)) * ay
             ox = pl.multiple_of(ox, 128)
-            oy = pl.multiple_of(oy, 8)
+            oy = pl.multiple_of(oy, ay)
             # One DMA per channel into the stacked (C*WH, WW) window.
             # (measured on v5e: a single 3-D (C, WH, WW) copy into a
             # (g, c, wh, ww) scratch was ~2 ms SLOWER at 2K x 16 src — the
@@ -782,8 +798,12 @@ def _make_project_kernel_v4(ww: int, wh: int, c: int, hs: int, ws: int, precisio
                     # sources quantized to k/256 at upload (cost.quantize_src):
                     # every window value is exactly bf16-representable, and
                     # (8-bit) x (8-bit) products fit f32 exactly — ONE
-                    # contraction, no hi/lo split.
-                    tmp = xdot(win_ref[gi][...], wxT)
+                    # contraction, no hi/lo split. With a bf16 stack the
+                    # weights cast to bf16 too (they are k/256 = bf16-exact,
+                    # so the products are BIT-identical to the f32 stack's)
+                    # and the MXU runs native bf16 x bf16.
+                    win = win_ref[gi][...]
+                    tmp = xdot(win, wxT.astype(win.dtype))
                 else:
                     win = win_ref[gi].astype(jnp.float32)  # (C*WH, WW)
                     win_hi = win.astype(jnp.bfloat16).astype(jnp.float32)
@@ -915,10 +935,12 @@ def project_sample_planar_v4(
         # the hi/lo exactness split needs the f32 residual; a bf16 stack is
         # only lossless when pre-quantized to k/256 (cost.quantize_src)
         raise ValueError("bf16 source stack requires src_exact_bf16")
-    # edge-pad sources to the (8, 128) DMA tiling; the kernel keeps using
-    # the TRUE dims for projection/clipping, so small pyramid levels
-    # (w < 128) run the same kernel instead of falling back to XLA gathers
-    ph, pw = (-hs) % 8, (-ws) % 128
+    # edge-pad sources to the (ay, 128) DMA tiling (ay = the dtype's sublane
+    # tile: 16 for bf16); the kernel keeps using the TRUE dims for
+    # projection/clipping, so small pyramid levels (w < 128) run the same
+    # kernel instead of falling back to XLA gathers
+    ay = 16 if src_planar.dtype == jnp.bfloat16 else 8
+    ph, pw = (-hs) % ay, (-ws) % 128
     if ph or pw:
         src_planar = jnp.pad(src_planar, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="edge")
     hs_pad, ws_pad = hs + ph, ws + pw
@@ -927,10 +949,11 @@ def project_sample_planar_v4(
     h, w = disparity_p.shape
     grid = (n // g, h // th, w // tw)
     ww = min(ww_max, ws_pad)
-    wh = min(wh_max, hs_pad)
+    wh = min(-(-min(wh_max, hs_pad) // ay) * ay, hs_pad)
 
     out, valid, clipped = pl.pallas_call(
-        _make_project_kernel_v4(ww, wh, c, hs, ws, precision, src_exact_bf16, g, _ablate),
+        _make_project_kernel_v4(ww, wh, c, hs, ws, precision, src_exact_bf16, g, _ablate,
+                                ay=ay),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam params (N, PARAM_SIZE)
@@ -1010,7 +1033,8 @@ def project_sample_packed(
         g -= 1
     if src_planar.dtype == jnp.bfloat16 and not src_exact_bf16:
         raise ValueError("bf16 source stack requires src_exact_bf16")
-    ph, pw = (-hs) % 8, (-ws) % 128
+    ay = 16 if src_planar.dtype == jnp.bfloat16 else 8
+    ph, pw = (-hs) % ay, (-ws) % 128
     if ph or pw:
         src_planar = jnp.pad(src_planar, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="edge")
     hs_pad, ws_pad = hs + ph, ws + pw
@@ -1020,12 +1044,12 @@ def project_sample_packed(
     h, w = disparity_p.shape
     grid = (n // g, h // th, w // tw)
     ww = min(V4_WINDOW_W if ww_max is None else ww_max, ws_pad)
-    wh = min(V4_WINDOW_H if wh_max is None else wh_max, hs_pad)
+    wh = min(-(-min(V4_WINDOW_H if wh_max is None else wh_max, hs_pad) // ay) * ay, hs_pad)
     r_pad, c_pad = packed_pad_dims(h0, w0, k2_th, k2_tw)
 
     sampled_p = pl.pallas_call(
         _make_project_kernel_v4(
-            ww, wh, c, hs, ws, precision, src_exact_bf16, g, "", (h0, w0)
+            ww, wh, c, hs, ws, precision, src_exact_bf16, g, "", (h0, w0), ay=ay
         ),
         grid=grid,
         in_specs=[

@@ -172,13 +172,14 @@ def process_frames_sharded(
                 src_imgs=imgs,
                 src_variance=jax.vmap(sampling.rgb_variance)(imgs),
                 src_imgs_t=(
-                    # f32, NOT bf16: bf16-sampled colors corrupt the SSD (the
-                    # round-2 RMSE tail); the kernel needs the f32 stack.
                     # Must match solver.make_level_context exactly, including
-                    # the k/256 quantization under cost.SRC_QUANT_EXACT.
-                    (cost.quantize_src if cost.SRC_QUANT_EXACT else lambda a: a)(
-                        warp_pallas.planar_for_sampling(imgs[..., :3]).astype(jnp.float32)
-                    )
+                    # the k/256 quantization under cost.SRC_QUANT_EXACT and
+                    # the (lossless) bf16 storage under cost.SRC_STACK_BF16;
+                    # raw bf16 SAMPLES would corrupt the SSD (round-2 tail).
+                    (
+                        (lambda a: cost.quantize_src(a, dtype=cost.stack_dtype()))
+                        if cost.SRC_QUANT_EXACT else (lambda a: a)
+                    )(warp_pallas.planar_for_sampling(imgs[..., :3]).astype(jnp.float32))
                     if use_pallas
                     else None
                 ),

@@ -339,3 +339,55 @@ def test_packed_pipeline_bit_exact():
         assert np.array_equal(ring[:, :, 8 + h, 128:128 + w], spm[:, :, h - 2, :]), (w, h)
         assert np.array_equal(ring[:, :, 8:8 + h, 127], spm[:, :, :, 1]), (w, h)
         assert np.array_equal(ring[:, :, 8:8 + h, 128 + w], spm[:, :, :, w - 2]), (w, h)
+
+
+def test_bf16_stack_bit_identical_to_f32_stack():
+    """cost.SRC_STACK_BF16 (round-5 sampler lever): a bf16-stored quantized
+    stack must produce BIT-identical samples to the f32 stack — k/256 colors
+    are exactly bf16-representable and (8-bit x 8-bit) MXU products
+    accumulate exactly in f32, so the only mechanical differences are the
+    window's (16, 128) DMA tiling (y-anchor alignment 16 vs 8) and the
+    default window rounding 40 -> 48. On a zero-clip rig the anchor shift
+    cannot change validity, so everything matches bitwise; the packed
+    composition must agree identically too."""
+    import jax
+    from facebook360_dep_tpu.core import camera as cam
+    from facebook360_dep_tpu.ops import cost as cost_ops
+    from facebook360_dep_tpu.ops import sampling
+    from facebook360_dep_tpu.render import synthetic
+
+    for w, h in ((200, 50), (208, 49)):  # exact + ragged tile multiples
+        rig = synthetic.make_test_rig(num_cameras=4, resolution=(w, h), ring_radius=0.15)
+        nrig = cam.normalize_rig(rig)
+        colors, gt = synthetic.render_sphere_scene(rig, (w, h), radius=5.0, as_numpy=False)
+        planar = warp_pallas.planar_for_sampling(colors)
+        stack32 = cost_ops.quantize_src(planar)
+        stack16 = cost_ops.quantize_src(planar, dtype=jnp.bfloat16)
+        assert stack16.dtype == jnp.bfloat16
+        # lossless storage: bf16 round-trips the quantized colors exactly
+        assert np.array_equal(np.asarray(stack16, np.float32), np.asarray(stack32))
+
+        f32 = lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else jnp.asarray(a)  # noqa: E731
+        cams = jax.tree.map(f32, nrig.cameras)
+        cam0 = jax.tree.map(lambda a: a[0], cams)
+        rays_planar = jnp.moveaxis(cost_ops.dst_ray_dirs(cam0, h, w), -1, 0)
+        params = warp_pallas.pack_camera_params_traced(cams)
+        dm = jnp.nan_to_num(gt[0], nan=1e-4)
+
+        res32 = warp_pallas.project_sample_planar_v4(
+            stack32, params, cam0.position, dm, rays_planar, src_exact_bf16=True)
+        res16 = warp_pallas.project_sample_planar_v4(
+            stack16, params, cam0.position, dm, rays_planar, src_exact_bf16=True)
+        s32, v32, c32 = map(np.asarray, res32)
+        s16, v16, c16 = map(np.asarray, res16)
+        assert c32.sum() == 0 and c16.sum() == 0  # zero-clip rig
+        assert np.array_equal(v32, v16)
+        assert np.array_equal(s32, s16)
+
+        # packed composition: identical int32 planes in the image region
+        p32 = np.asarray(warp_pallas.project_sample_packed(
+            stack32, params, cam0.position, dm, rays_planar, src_exact_bf16=True))
+        p16 = np.asarray(warp_pallas.project_sample_packed(
+            stack16, params, cam0.position, dm, rays_planar, src_exact_bf16=True))
+        assert np.array_equal(p32[:, :, 7:9 + h, 127:129 + w],
+                              p16[:, :, 7:9 + h, 127:129 + w])
