@@ -79,13 +79,19 @@ struct Pool {
 // ---- RECTILINEAR camera (util/Camera.h pixel/rig, zero distortion) --------
 struct Cam {
   Vec3 position;
+  // rotation rows: right, up, backward (util/Camera.cpp:77-81); identity for
+  // the forward ring rig, arbitrary for outward 360 rigs (mini_solver meta)
+  double rot[9] = {1, 0, 0, 0, 1, 0, 0, 0, 1};
   double fx, fy, cx, cy;  // pixel units at the current level resolution
   int w, h;
 
   // world -> pixel; false when behind the camera or outside the sensor
-  // (Camera::pixel + sees(); rotation is identity for the ring rig)
+  // (Camera::pixel + sees())
   bool project(const Vec3& p, double& px, double& py) const {
-    const Vec3 v = p - position;
+    const Vec3 o = p - position;
+    const Vec3 v(rot[0] * o[0] + rot[1] * o[1] + rot[2] * o[2],
+                 rot[3] * o[0] + rot[4] * o[1] + rot[5] * o[2],
+                 rot[6] * o[0] + rot[7] * o[1] + rot[8] * o[2]);
     const double zf = -v[2];
     if (!(zf > 0)) return false;
     px = fx * (v[0] / zf) + cx;
@@ -93,10 +99,13 @@ struct Cam {
     return px >= 0 && px < w && py >= 0 && py < h;
   }
 
-  // pixel center -> unit ray (Camera::rig)
+  // pixel center -> unit ray (Camera::rig); rot^T applied (rows orthonormal)
   Vec3 ray(double px, double py) const {
-    Vec3 d((px - cx) / fx, (py - cy) / fy, -1.0);
-    return d / cv::norm(d);
+    const Vec3 d((px - cx) / fx, (py - cy) / fy, -1.0);
+    const Vec3 r(rot[0] * d[0] + rot[3] * d[1] + rot[6] * d[2],
+                 rot[1] * d[0] + rot[4] * d[1] + rot[7] * d[2],
+                 rot[2] * d[0] + rot[5] * d[1] + rot[8] * d[2]);
+    return r / cv::norm(r);
   }
 };
 
@@ -340,8 +349,9 @@ static void evalFullImage(const Level& L, int dstIdx, const cv::Mat_<float>& dis
 //                                                     CvUtil.h:336
 // Input DIR layout (written by tests/test_ref_solver_oracle.py):
 //   meta.txt   "ncams w h min_depth max_depth num_dsts var_noise_floor"
-//              then per camera: "px py pz fx fy cx cy" (identity rotation —
-//              the bench ring rig, render/synthetic.py make_test_rig)
+//              then per camera: "px py pz fx fy cx cy" optionally followed
+//              by 9 rotation entries (rows right/up/backward; omitted =
+//              identity, the forward ring of render/synthetic.py make_test_rig)
 //   colorNN.u16  h*w*3 uint16 raw (RGB row-major)
 // Output DIR: dispNN.f32 per destination (h*w float32).
 // ============================================================================
@@ -470,6 +480,23 @@ static int runMiniSolver(const std::string& inDir, const std::string& outDir, in
     }
     c.position = Vec3(px, py, pz);
     c.w = w; c.h = h;
+    // optional 9-entry rotation (rows right/up/backward); peek the line rest
+    long pos = std::ftell(f);
+    double r[9];
+    bool nine = true;
+    for (int k = 0; k < 9; ++k) {
+      // a newline before 9 doubles means identity (back-compat format)
+      int ch;
+      while ((ch = std::fgetc(f)) == ' ' || ch == '\t') {}
+      if (ch == '\n' || ch == EOF) { nine = false; break; }
+      std::ungetc(ch, f);
+      if (std::fscanf(f, "%lf", &r[k]) != 1) { nine = false; break; }
+    }
+    if (nine) {
+      for (int k = 0; k < 9; ++k) c.rot[k] = r[k];
+    } else {
+      std::fseek(f, pos, SEEK_SET);
+    }
   }
   std::fclose(f);
 
