@@ -24,6 +24,7 @@ FLT_MIN = float(np.finfo(np.float32).tiny)
 def convert_depth(
     camera, cam_id, disparity, bin_dir, triangles=150000, tear_ratio=0.95,
     depth_scale=1.0, foreground_mask=None, save_obj=False, adaptive=True,
+    mesh_tol_rel=1e-3,
 ):
     depth = 1.0 / disparity
     if depth_scale < 1:
@@ -50,7 +51,7 @@ def convert_depth(
 
         z = vertexes.reshape(h, w, 3)[..., 2]
         faces = adaptive_mod.build_adaptive_faces(
-            z, vertex_mask, tear_ratio=tear_ratio
+            z, vertex_mask, tear_ratio=tear_ratio, tol_rel=mesh_tol_rel
         )
         vertexes, faces = mesh.apply_mask(vertexes, faces, vertex_mask)
     else:
@@ -110,6 +111,7 @@ def convert_one(argd: dict, camera, cam_id: str, frame: str) -> str:
             triangles=args.triangles, tear_ratio=args.tear_ratio,
             depth_scale=args.depth_scale, foreground_mask=fg,
             adaptive=getattr(args, "adaptive_mesh", True),
+            mesh_tol_rel=getattr(args, "mesh_tol_rel", 1e-3),
         )
         report.append(f"{len(v)} vertices, {len(f)} faces")
         if formats & {"vtx", "idx"}:
@@ -167,6 +169,12 @@ def main(argv=None):
     p.add_argument(
         "--adaptive_mesh", type=lambda v: str(v).lower() in ("1", "true"), default=True,
         help="tiled-LOD pre-decimation before QEM (full-res grid when false)",
+    )
+    p.add_argument(
+        "--mesh_tol_rel", type=float, default=1e-3,
+        help="adaptive pre-decimation depth tolerance, relative to |z| "
+             "(default sized to the solver's refinement quantum; see "
+             "stream/adaptive.py)",
     )
     p.add_argument("--tear_ratio", type=float, default=0.95)
     p.add_argument("--color_scale", type=float, default=1.0)

@@ -164,11 +164,19 @@ def build_adaptive_faces(
     z: np.ndarray,
     valid: np.ndarray,
     tear_ratio: float = 0.95,
-    tol_rel: float = 2e-4,
+    tol_rel: float = 1e-3,
 ) -> np.ndarray:
     """(F, 3) uint32 faces over the (H, W) vertex grid: full-resolution torn
     triangulation (reference semantics) near tears/mask edges, coarse
     crack-free LOD tiles elsewhere. See module docstring.
+
+    Default tol_rel = 1e-3: SOLVED maps carry per-pixel noise at the solver's
+    refinement quantum (~1e-3 rel — proposal/ping-pong step floor), and a
+    tighter tolerance keeps noisy-but-flat tiles at full resolution, feeding
+    QEM 15x the faces for no visible gain (measured on a real 2K solve:
+    2.39M faces in at 2e-4 vs 154k at 1e-3, a knee that plateaus at 135k by
+    5e-3; simplify 2.8 s -> 0.15 s). The 150k-triangle viewer budget's own
+    QEM error dwarfs a 0.1% depth deviation.
 
     Dispatches to the native single-pass builder (_native/adaptive_native.cpp,
     same face set — parity-pinned); the numpy implementation below is the
@@ -186,7 +194,7 @@ def build_adaptive_faces_numpy(
     z: np.ndarray,
     valid: np.ndarray,
     tear_ratio: float = 0.95,
-    tol_rel: float = 2e-4,
+    tol_rel: float = 1e-3,
 ) -> np.ndarray:
     """Vectorized-numpy reference implementation of build_adaptive_faces."""
     from . import mesh as mesh_mod

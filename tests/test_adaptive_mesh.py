@@ -253,13 +253,14 @@ def test_native_builder_matches_numpy_spec():
                   np.ones((14, 15), bool)))  # below one tile
 
     for z, valid in cases:
-        f_np = adaptive.build_adaptive_faces_numpy(z, valid)
-        zf = np.where(valid, z, np.nan).astype(np.float32)
-        f_cc, step = native.build_adaptive_faces(zf, 0.95, 2e-4, want_step=True)
-        a = f_np[np.lexsort(f_np.T[::-1])]
-        b = f_cc[np.lexsort(f_cc.T[::-1])]
-        assert a.shape == b.shape, (z.shape, a.shape, b.shape)
-        assert np.array_equal(a, b), z.shape
-        # the dispatcher must route to the native path
+        for tol in (2e-4, 1e-3):  # legacy-tight and the solver-noise default
+            f_np = adaptive.build_adaptive_faces_numpy(z, valid, tol_rel=tol)
+            zf = np.where(valid, z, np.nan).astype(np.float32)
+            f_cc, step = native.build_adaptive_faces(zf, 0.95, tol, want_step=True)
+            a = f_np[np.lexsort(f_np.T[::-1])]
+            b = f_cc[np.lexsort(f_cc.T[::-1])]
+            assert a.shape == b.shape, (z.shape, tol, a.shape, b.shape)
+            assert np.array_equal(a, b), (z.shape, tol)
+        # the dispatcher must route to the native path (both at the default)
         f_disp = adaptive.build_adaptive_faces(z, valid)
         assert np.array_equal(f_disp, f_cc), z.shape
