@@ -103,12 +103,14 @@ def main():
     colors_2k = jax.block_until_ready(colors_2k)
     log(f"{elapsed()} fixtures rendered")
 
-    def build_ctx(w, rig_dst, colors, rig_src=None, **kw):
+    def build_ctx(w, rig_dst, colors, rig_src=None, full_height=None, **kw):
         h = colors.shape[1]
         fov = pipeline.generate_fov_masks(rig_dst, (h, w))
         return solver.make_level_context(
             nrig if rig_src is None else rig_src, rig_dst, colors, fov,
-            use_pallas_sampler=True, full_height=hw(WIDTHS[0]), **kw
+            use_pallas_sampler=True,
+            full_height=hw(WIDTHS[0]) if full_height is None else full_height,
+            **kw
         )
 
     def _sync(out):
@@ -142,19 +144,23 @@ def main():
     # --- config 2 (headline): full coarse-to-fine pyramid, 10 levels --------
     num_levels = len(WIDTHS)
 
-    def solve_pyramid(colors_full, rig_dst_=None, rig_src_=None, window=None):
+    def solve_pyramid(colors_full, rig_dst_=None, rig_src_=None, window=None,
+                      aspect=None):
         """Full coarse-to-fine cascade from brute-force init; returns
-        (disparity stack, total seconds, per-level times, coarsest time)."""
+        (disparity stack, total seconds, per-level times, coarsest time).
+        ``aspect``: width -> height (default the 4:3 reference ladder; the
+        production FTHETA rig is 14:9)."""
+        aspect = hw if aspect is None else aspect
         level_times = {}
         disp = None
         total_s = 0.0
         coarsest_s = None
         for level in range(num_levels - 1, -1, -1):
             w = WIDTHS[level]
-            h = hw(w)
+            h = aspect(w)
             colors_l = colors_full if level == 0 else resize(colors_full, h, w)
             ctx = build_ctx(w, dst_rig if rig_dst_ is None else rig_dst_, colors_l,
-                            rig_src=rig_src_)
+                            rig_src=rig_src_, full_height=aspect(WIDTHS[0]))
             cfg = solver.SolverConfig(
                 min_depth=1.0, max_depth=100.0, level=level, num_levels=num_levels,
                 num_random_proposals=2, ping_pong_iterations=1,
@@ -342,6 +348,82 @@ def main():
         f"{rmse_or_cov:.4f} over {cov_or.mean():.1%}, MSSIM {mssim_or:.2f}"
     )
 
+    # --- config 2d: the reference's PRODUCTION rig: 16-cam FTHETA fisheye ---
+    # the real res/test/rigs/rig.json geometry (measured calibration:
+    # FTHETA projection + polynomial distortion, fov pi/2, 3360x2160 14:9
+    # sensors) — executes the in-kernel fisheye + distortion branches at 2K
+    # (VERDICT r5 #1c). Loaded from the reference checkout; falls back to
+    # the equivalent synthetic production shape if absent on this host.
+    ref_rig_path = "/root/reference/res/test/rigs/rig.json"
+    if os.path.exists(ref_rig_path):
+        ft_rig_raw = cam.load_rig(ref_rig_path)
+        ft_src_note = "res/test/rigs/rig.json"
+    else:  # pragma: no cover - reference checkout ships with the image
+        ft_rig_raw = synthetic.make_ftheta_ring_rig(
+            15, ring_radius=0.33, resolution=(3360, 2160),
+            distortion=synthetic.PRODUCTION_FTHETA_DISTORTION)
+        ft_src_note = "synthetic ftheta_ring fallback"
+
+    def ft_hw(w):  # the rig's 14:9 sensor aspect (2160/3360)
+        return int(round(w * 2160.0 / 3360.0))
+
+    ftrig = cam.normalize_rig(ft_rig_raw)
+    ft_n = len(ftrig.ids)
+    ft_dst = cam.Rig(
+        cameras=jax.tree.map(lambda a: a[:BENCH_DST], ftrig.cameras),
+        ids=ftrig.ids[:BENCH_DST], groups=ftrig.groups[:BENCH_DST],
+    )
+    colors_ft, gt_ft = synthetic.render_sphere_scene(
+        ftrig, (WIDTHS[0], ft_hw(WIDTHS[0])), radius=5.0, as_numpy=False
+    )
+    colors_ft = jax.block_until_ready(colors_ft)
+    log(f"{elapsed()} ftheta-rig fixtures rendered ({ft_n} cams, {ft_src_note})")
+    win_ft = costmod.auto_window(
+        ftrig.cameras, ft_dst.cameras, (ft_hw(WIDTHS[0]), WIDTHS[0]),
+        min_depth=1.0, max_depth=100.0,
+    )
+    log(f"{elapsed()} ftheta-rig sampler window: {win_ft}")
+    disp_ft, pyramid_ft_s, _, _ = solve_pyramid(
+        colors_ft, rig_dst_=ft_dst, rig_src_=ftrig,
+        window=None if win_ft == (256, 40) else win_ft, aspect=ft_hw,
+    )
+    pyramid_ft_s_per_map = pyramid_ft_s / BENCH_DST
+    disp_ft_np = np.asarray(disp_ft)
+    gt_ft_np = np.asarray(gt_ft[:BENCH_DST])
+
+    @jax.jit
+    def _coverage_ft(gt_d, di):
+        cdst = jax.tree.map(lambda a: a[di], ftrig.cameras)
+
+        def one_src(si):
+            csrc = jax.tree.map(lambda a: a[si], ftrig.cameras)
+            _, v = costmod.reproject_to_src(cdst, csrc, gt_d, gt_d.shape, gt_d.shape)
+            return v & (si != di)
+
+        cnt = jnp.sum(jax.vmap(one_src)(jnp.arange(ft_n)), axis=0)
+        return cnt >= 2
+
+    cov_ft = np.stack([np.asarray(_coverage_ft(gt_ft[i], i)) for i in range(BENCH_DST)])
+    vc_ft = np.isfinite(disp_ft_np) & cov_ft
+    rmse_ft_cov = float(
+        np.sqrt(np.mean((disp_ft_np[vc_ft] - gt_ft_np[vc_ft]) ** 2)) / np.mean(gt_ft_np[vc_ft])
+    )
+    rel_median_ft = float(
+        np.median(np.abs(disp_ft_np[vc_ft] - gt_ft_np[vc_ft]) / gt_ft_np[vc_ft])
+    )
+    # in-circle coverage achieved by the solve (the fisheye circle leaves
+    # the raster corners dark; fraction is over in-circle pixels)
+    fov_ft = np.asarray(pipeline.generate_fov_masks(
+        ft_dst, (ft_hw(WIDTHS[0]), WIDTHS[0])))
+    cov_ft_frac = float((vc_ft & fov_ft).sum() / max(fov_ft.sum(), 1))
+    ctx_ft = build_ctx(WIDTHS[0], ft_dst, colors_ft, rig_src=ftrig,
+                       full_height=ft_hw(WIDTHS[0]))
+    mssim_ft = float(rephoto_mssim(ctx_ft, jnp.nan_to_num(disp_ft[0], nan=1e-4))) * 100.0
+    log(
+        f"{elapsed()} ftheta production rig: {pyramid_ft_s_per_map:.3f}s/map, covered rel "
+        f"RMSE {rmse_ft_cov:.4f} over {cov_ft_frac:.1%} of the circle, MSSIM {mssim_ft:.2f}"
+    )
+
     # --- config 1: coarse-level-only -----------------------------------------
     # (a) the true coarsest level is timed above (coarsest_s);
     # (b) a full 150-hypothesis brute-force sweep at 2K, one destination
@@ -351,6 +433,29 @@ def main():
     warm_c1 = ctx_c1._replace(src_variance=ctx_c1.src_variance * (1.0 + 1e-6))
     t_coarse2k, _ = timed(fn_bf, (warm_c1,), (ctx_c1,))
     log(f"{elapsed()} 150-sweep at 2K: {t_coarse2k:.3f}s/map")
+
+    # --- config 6: batch throughput on ONE chip (VERDICT r5 #7) --------------
+    # vs_baseline_per_v5e8_slice assumes independent maps scale linearly
+    # across the slice's 8 chips; the per-CHIP term it extrapolates from is
+    # grounded here by solving 1 vs 8 destination maps in one pyramid pass —
+    # the batch=8 run shares the chip's HBM bandwidth across 4x the
+    # headline's maps, so its per-map time measures the contention the x8
+    # extrapolation assumes away.
+    _, t_b1, _, _ = solve_pyramid(colors_2k, rig_dst_=take_dst(1))
+    _, t_b8, _, _ = solve_pyramid(colors_2k, rig_dst_=take_dst(8))
+    batch_eff = (t_b1 * 8.0) / t_b8 if t_b8 > 0 else 0.0
+    log(
+        f"{elapsed()} batch throughput: 1 map {t_b1:.3f}s, 8 maps {t_b8:.3f}s "
+        f"({8.0 / t_b8:.2f} maps/s, scaling efficiency {batch_eff:.2f}x vs 1-map latency)"
+    )
+
+    # --- config 7: MFU / roofline accounting (VERDICT r5 #5) -----------------
+    # achieved MAC/s and HBM GB/s of the hot kernels vs this chip's MEASURED
+    # ceilings (dispatch-floor-corrected; see tools/utilization.py)
+    from tools import utilization as _util
+
+    util = _util.measure(width=WIDTHS[0], num_src=NUM_CAMERAS, reps=3,
+                         log=lambda s: log(f"{elapsed()} utilization: {s}"))
 
     # --- config 3: foreground/background split ------------------------------
     med = jnp.nanmedian(gt_2k[:BENCH_DST])
@@ -475,6 +580,16 @@ def main():
                         "covered_pixel_fraction": round(float(cov_or.mean()), 4),
                         "rephoto_mssim_pct": round(mssim_or, 2),
                     },
+                    "ftheta_rig": {
+                        "source": ft_src_note,
+                        "num_cameras": ft_n,
+                        "sampler_window": list(win_ft),
+                        "pyramid_s_per_map": round(pyramid_ft_s_per_map, 4),
+                        "disparity_rel_rmse_covered_pixels": round(rmse_ft_cov, 6),
+                        "disparity_rel_median_covered": round(rel_median_ft, 6),
+                        "covered_in_circle_fraction": round(cov_ft_frac, 4),
+                        "rephoto_mssim_pct": round(mssim_ft, 2),
+                    },
                     "occluder_scene": {
                         "pyramid_s_per_map": round(pyramid_occ_s_per_map, 4),
                         "disparity_rel_rmse_vs_gt": round(rmse_occ, 6),
@@ -483,6 +598,13 @@ def main():
                         "covered_pixel_fraction": round(float(cov_occ.mean()), 4),
                         "rephoto_mssim_pct": round(mssim_occ, 2),
                     },
+                    "batch_throughput": {
+                        "one_map_pyramid_s": round(t_b1, 4),
+                        "eight_map_pyramid_s": round(t_b8, 4),
+                        "maps_per_s_batched": round(8.0 / t_b8, 4) if t_b8 > 0 else 0.0,
+                        "scaling_efficiency_vs_1map": round(batch_eff, 3),
+                    },
+                    "utilization": util,
                     "pyramid_widths": WIDTHS,
                     "num_src_cameras": NUM_CAMERAS,
                 },

@@ -1,0 +1,218 @@
+"""Roofline / MFU accounting for the cost-eval hot path (VERDICT r5 #5).
+
+Measures on the real TPU (every timing subtracts a measured per-call
+dispatch floor — ~25 ms of tunnel RTT on axon hosts swamps short kernels):
+  - MXU ceiling: chained dense bf16 4096^3 matmuls (measures ~the chip spec).
+  - HBM ceiling: barrier-separated read+write streams at the color-stack size.
+  - Achieved: the packed sampler's dense MAC/s and HBM GB/s at 2K x 16 src
+    (the bench's dominant level) against those ceilings, plus a dot-only
+    split via the kernel's own skip_dot ablation (a standalone XLA dot at
+    the contraction's (3*WH, WW) x (WW, P) shape is HBM-bound on its f32
+    output and would measure the wrong ceiling).
+
+Prints one JSON line; bench.py embeds the same accounting in
+detail.utilization via utilization.measure(...).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(width=2048, num_src=16, reps=5, log=lambda s: None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from facebook360_dep_tpu.core import camera as cam
+    from facebook360_dep_tpu.ops import cost as cost_ops
+    from facebook360_dep_tpu.ops import sampling, warp_pallas
+    from facebook360_dep_tpu.render import synthetic
+
+    w = width
+    h = (3 * w + 2) // 4
+    n = num_src
+    rig = synthetic.make_test_rig(num_cameras=n, resolution=(w, h), ring_radius=0.3)
+    nrig = cam.normalize_rig(rig)
+    colors = jax.random.uniform(jax.random.PRNGKey(0), (n, h, w, 3), jnp.float32)
+    stack = cost_ops.quantize_src(
+        warp_pallas.planar_for_sampling(colors), dtype=cost_ops.stack_dtype())
+    f32 = lambda a: jnp.asarray(a, jnp.float32) if jnp.asarray(a).dtype.kind == "f" else jnp.asarray(a)  # noqa: E731
+    cams = jax.tree.map(f32, nrig.cameras)
+    cam0 = jax.tree.map(lambda a: a[0], cams)
+    rays_planar = jnp.moveaxis(cost_ops.dst_ray_dirs(cam0, h, w), -1, 0)
+    params = warp_pallas.pack_camera_params_traced(cams)
+    dm = jnp.full((h, w), 0.15, jnp.float32)
+    dst_planar = jnp.moveaxis(colors[0][..., :3], -1, 0)
+    variance = sampling.rgb_variance(colors[0])
+
+    def sync(r):
+        leaf = jax.tree.leaves(r)[0]
+        np.asarray(jax.device_get(leaf[(slice(0, 1),) * leaf.ndim]))
+
+    def timed(fn, floor=0.0):
+        """min-of-reps wall time minus the measured dispatch floor.
+
+        Per-call dispatch (tunnel RTT + runtime launch) measured ~20-30 ms on
+        this axon-tunneled chip — enough to swamp a 5 ms matmul chain and make
+        the 'ceiling' land BELOW the sampler's own achieved rate. Ceilings and
+        achieved rates alike subtract the same floor."""
+        sync(fn())
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(fn())
+            best = min(best, time.perf_counter() - t0)
+        return max(best - floor, 1e-6)
+
+    out = {"width": w, "num_src": n}
+
+    # ---- dispatch floor: a trivial jitted op, same sync discipline ----------
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    bump_tiny = jax.jit(lambda x: x + 1.0)
+    sync(bump_tiny(tiny))
+    t_disp = float("inf")
+    for _ in range(10):  # the tunnel RTT jitters; take the floor's floor
+        t0 = time.perf_counter()
+        sync(bump_tiny(tiny))
+        t_disp = min(t_disp, time.perf_counter() - t0)
+    out["dispatch_floor_ms"] = round(t_disp * 1e3, 2)
+    log(f"dispatch floor {out['dispatch_floor_ms']} ms/call")
+
+    # ---- MXU ceiling: large square bf16 matmul ------------------------------
+    m = 4096
+    a = jax.random.normal(jax.random.PRNGKey(1), (m, m), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(2), (m, m), jnp.bfloat16)
+    reps_mm = 128  # ~90 ms of MXU work on a v5e: the ~30 ms dispatch floor's
+    # run-to-run jitter (+-5 ms) then moves the figure <6%
+
+    @jax.jit
+    def chain(a, b):
+        x = a
+        for _ in range(reps_mm):
+            x = jax.lax.dot(x, b, precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.bfloat16)
+        return x
+
+    t = timed(lambda: chain(a, b), floor=t_disp)
+    out["mxu_peak_tmacs"] = round(reps_mm * m ** 3 / t / 1e12, 1)
+    log(f"mxu peak {out['mxu_peak_tmacs']} T MAC/s")
+
+    # ---- HBM ceiling: read+write streams at the stack size -------------------
+    # optimization_barrier between passes: without it XLA fuses the chain
+    # into ONE kernel (one read + one write) and the figure overcounts 8x.
+    # NB: ``big`` must be a jit ARGUMENT — a closure capture would inline the
+    # ~600 MB array into the HLO as a constant (remote_compile HTTP 413)
+    big = jax.random.uniform(jax.random.PRNGKey(5), (n, 3, h, w), jnp.float32)
+    reps_hbm = 32  # 32 read+write passes over ~600 MB: ~50 GB of traffic,
+    # so the ~30 ms dispatch floor is <40% of the wall instead of 2/3
+
+    @jax.jit
+    def bump(x):
+        for _ in range(reps_hbm):
+            x = jax.lax.optimization_barrier(x + 1.0)
+        return x
+
+    t = timed(lambda: bump(big), floor=t_disp)
+    out["hbm_peak_gbps"] = round(2 * reps_hbm * big.nbytes / t / 1e9, 1)
+    log(f"hbm peak {out['hbm_peak_gbps']} GB/s")
+
+    # ---- achieved: packed sampler + combine at the bench level ---------------
+    def sampler():
+        return warp_pallas.project_sample_packed(
+            stack, params, cam0.position, dm, rays_planar, src_exact_bf16=True)
+
+    t_s = timed(sampler, floor=t_disp)
+    sampled_p = sampler()
+    kw2 = dict(min_keep=cost_ops.MIN_OVERLAPPING_CAMS - 1,
+               flt_max=float(cost_ops.FLT_MAX), min_var=float(cost_ops.MIN_VAR))
+
+    # combine is ~4 ms — shorter than the dispatch floor's jitter; chain 8
+    # launches in ONE device program (a 0.0*cost data dependence between
+    # iterations keeps XLA from CSE-merging them) so the floor is paid once
+    reps_k2 = 8
+
+    @jax.jit
+    def comb_chain(sp, dstp, var):
+        dep = jnp.float32(0.0)
+        c = f = None
+        for _ in range(reps_k2):
+            c, f = warp_pallas.ssd_combine(
+                sp, None, dstp, var + dep, 0, true_shape=(h, w), **kw2)
+            dep = c[0, 0] * 0.0
+        return c, f
+
+    t_k2 = timed(lambda: comb_chain(sampled_p, dst_planar, variance),
+                 floor=t_disp) / reps_k2
+
+    # dot-resident fraction: the same kernel with the MXU contraction ablated
+    # out (_ablate="skip_dot"); the difference isolates the dot's wall share
+    # under the kernel's real DMA/VPU overlap — a standalone XLA dot at this
+    # shape is HBM-bound on its f32 output and measures the wrong ceiling.
+    def planar(ablate=""):
+        return warp_pallas.project_sample_planar_v4(
+            stack, params, cam0.position, dm, rays_planar, src_exact_bf16=True,
+            _ablate=ablate)
+
+    t_pl = timed(planar, floor=t_disp)
+    t_nodot = timed(lambda: planar("skip_dot"), floor=t_disp)
+    t_dot = max(t_pl - t_nodot, 1e-6)
+
+    th, tw = warp_pallas.V4_TILE_H, warp_pallas.TILE_W
+    ww = warp_pallas.V4_WINDOW_W
+    wh = 48 if stack.dtype == jnp.bfloat16 else warp_pallas.V4_WINDOW_H
+    rows, p = 3 * wh, th * tw
+    n_tiles = -(-h // th) * (-(-w // tw))
+    # dense MACs actually issued to the MXU per eval (the hat-weight RHS is
+    # sparse — 2 nonzeros per column — but the MXU runs it dense; MFU counts
+    # issued work). Forward 16-cam ring: every source sees ~every tile.
+    macs = n_tiles * n * rows * ww * p
+    out["sampler_ms"] = round(t_s * 1e3, 2)
+    out["combine_ms"] = round(t_k2 * 1e3, 2)
+    out["sampler_achieved_tmacs"] = round(macs / t_s / 1e12, 1)
+    out["sampler_mxu_util_vs_peak"] = round(macs / t_s / (out["mxu_peak_tmacs"] * 1e12), 3)
+    out["dot_only_ms"] = round(t_dot * 1e3, 2)
+    out["dot_wall_fraction"] = round(t_dot / t_pl, 3)
+    out["dot_achieved_tmacs"] = round(macs / t_dot / 1e12, 1)
+    out["dot_mxu_util_vs_peak"] = round(macs / t_dot / (out["mxu_peak_tmacs"] * 1e12), 3)
+    log(f"sampler {out['sampler_ms']} ms ({out['sampler_achieved_tmacs']} T MAC/s = "
+        f"{out['sampler_mxu_util_vs_peak']:.0%} MFU); dot-only {out['dot_only_ms']} ms "
+        f"({out['dot_achieved_tmacs']} T MAC/s = {out['dot_mxu_util_vs_peak']:.0%})")
+
+    # HBM bytes per eval: window DMAs (dominant) + packed-output writes +
+    # combine's window reads of the packed planes
+    esize = stack.dtype.itemsize
+    win_bytes = n_tiles * n * 3 * wh * ww * esize
+    r_pad, c_pad = warp_pallas.packed_pad_dims(h, w)
+    packed_bytes = n * 2 * r_pad * c_pad * 4
+    out["sampler_window_gb"] = round(win_bytes / 1e9, 2)
+    out["sampler_achieved_gbps"] = round((win_bytes + packed_bytes) / t_s / 1e9, 1)
+    out["sampler_hbm_util_vs_peak"] = round(
+        (win_bytes + packed_bytes) / t_s / (out["hbm_peak_gbps"] * 1e9), 3)
+    out["stack_dtype"] = str(stack.dtype)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=2048)
+    p.add_argument("--num_src", type=int, default=16)
+    p.add_argument("--reps", type=int, default=5)
+    args = p.parse_args()
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    res = measure(args.width, args.num_src, args.reps,
+                  log=lambda s: print(s, file=sys.stderr, flush=True))
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
