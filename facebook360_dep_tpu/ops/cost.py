@@ -289,13 +289,13 @@ def auto_window(src_cams, dst_cams, dst_hw, src_hw=None,
 
       x: ww = 256 while span <= 192 (the measured-safe regime: the 128-col
          anchor alignment rarely wastes its worst case; the bench forward
-         rig spans ~158 px with 0.09%% clipping), else
+         rig spans ~158 px with 0.09% clipping), else
          128*ceil((span + 130)/128), capped at 512.
       y: anchors align to ``y_align`` rows (8 for an f32 stack, 16 for the
          bf16 stack's (16, 128) DMA tiling; default follows stack_dtype()),
          so wh = 40 while span <= 36 (the kernel rounds 40 up to 48 under
          16-alignment, preserving the same covered-span guarantee of 32;
-         typical alignment loses ~half its worst case, and the sub-0.1%%
+         typical alignment loses ~half its worst case, and the sub-0.1%
          tail rides the clip guard), else y_align*ceil((span + 2 +
          y_align)/y_align), capped at WH_CAP rounded up to y_align (fisheye
          ring + top camera rigs measure 74 px tile spans; 88 stacks to 264

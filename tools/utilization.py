@@ -104,7 +104,8 @@ def measure(width=2048, num_src=16, reps=5, log=lambda s: None):
 
     # ---- HBM ceiling: read+write streams at the stack size -------------------
     # optimization_barrier between passes: without it XLA fuses the chain
-    # into ONE kernel (one read + one write) and the figure overcounts 8x.
+    # into ONE kernel (one read + one write) and the figure overcounts
+    # reps_hbm-fold.
     # NB: ``big`` must be a jit ARGUMENT — a closure capture would inline the
     # ~600 MB array into the HLO as a constant (remote_compile HTTP 413)
     big = jax.random.uniform(jax.random.PRNGKey(5), (n, 3, h, w), jnp.float32)
