@@ -38,6 +38,11 @@ def add_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--partial_coverage", type=str2bool, default=False)
     p.add_argument("--ping_pong_iterations", type=int, default=1)
     p.add_argument("--random_proposals", type=int, default=2)
+    p.add_argument("--fast_fine_levels", type=int, default=0,
+                   help="N finest levels use the convergence-aware schedule "
+                        "(axis-only star + --fast_fine_random_proposals); "
+                        "0 = reference-shaped schedule everywhere")
+    p.add_argument("--fast_fine_random_proposals", type=int, default=1)
     p.add_argument("--resolution", type=int, default=2048, help="output resolution (width px)")
     p.add_argument("--use_foreground_masks", type=str2bool, default=False)
     p.add_argument("--var_high_thresh", type=float, default=1e-3)

@@ -53,6 +53,18 @@ class DepthEstimatorOptions:
     partial_coverage: bool = False
     ping_pong_iterations: int = 1
     random_proposals: int = 2
+    # Convergence-aware fine-level schedule: the N finest levels drop the
+    # PatchMatch star's four long-range diagonal candidates
+    # (solver.SolverConfig.star_axis_only) and run
+    # ``fast_fine_random_proposals`` random proposals instead of
+    # ``random_proposals``. At those levels the upsampled coarser-level
+    # init is near-converged, so the dropped candidates are measured
+    # quality-neutral on the bench scenes (tools/ab_finest_schedule.py;
+    # PARITY.md) while each removes a full-image cost evaluation — the
+    # dominant cost at the finest level. 0 = the reference-shaped
+    # schedule at every level (Derp.cpp:403-551).
+    fast_fine_levels: int = 0
+    fast_fine_random_proposals: int = 1
     resolution: int = 2048
     use_foreground_masks: bool = False
     var_high_thresh: float = 1e-3
@@ -387,10 +399,15 @@ class DepthEstimator:
                 # defaults are the tuned fast path; only override upward
                 ww_max = None if ww_max <= 256 else ww_max
                 wh_max = None if wh_max <= 40 else wh_max
+            fast_fine = level < self.opts.fast_fine_levels
             cfg = solver.SolverConfig(
                 min_depth=self.opts.min_depth_m,
                 max_depth=self.opts.max_depth_m,
-                num_random_proposals=self.opts.random_proposals,
+                num_random_proposals=(
+                    self.opts.fast_fine_random_proposals
+                    if fast_fine else self.opts.random_proposals
+                ),
+                star_axis_only=fast_fine,
                 ping_pong_iterations=self.opts.ping_pong_iterations,
                 mismatches_start_level=self.opts.mismatches_start_level,
                 do_bilateral_filter=self.opts.do_bilateral_filter,

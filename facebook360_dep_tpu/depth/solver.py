@@ -73,6 +73,16 @@ class SolverConfig(NamedTuple):
     # static per-level, so a new value re-jits exactly like a new level size
     ww_max: int | None = None
     wh_max: int | None = None
+    # Convergence-aware propagation template: drop the four long-range
+    # (+/-2, +/-2) diagonal candidates from the PatchMatch star
+    # (DerpUtil.h:34-43), keeping the center + 4 axis neighbors. The
+    # diagonals buy long-range propagation, which matters from a cold
+    # start; at FINE pyramid levels the upsampled coarser-level init is
+    # already near-converged and each dropped candidate saves a full-image
+    # cost evaluation (the dominant cost at the 2048 level). Measured
+    # quality impact: tools/ab_finest_schedule.py. Default False =
+    # reference-shaped template at every level.
+    star_axis_only: bool = False
 
 
 def make_level_context(
@@ -282,6 +292,10 @@ def ping_pong(ctx: LevelContext, cfg: SolverConfig, disparity, costs, confidence
             else:
                 best_cost = jnp.full_like(cost, jnp.inf)
                 offsets = PING_PONG_OFFSETS
+            if cfg.star_axis_only:
+                offsets = tuple(
+                    o for o in offsets if max(abs(o[0]), abs(o[1])) <= 1
+                )
             best_disp = disp
             best_conf = conf
             for dy, dx in offsets:

@@ -62,6 +62,28 @@ def test_process_level_full(scene):
     assert np.median(err) < 0.05
 
 
+def test_axis_only_star_refines(scene):
+    """star_axis_only (the convergence-aware fine-level template) must still
+    refine a near-converged init — the regime it is built for."""
+    rig, colors, gt_disp = scene
+    ctx = _context(rig, colors)
+    cfg = solver.SolverConfig(
+        min_depth=1.0, max_depth=100.0, level=0, num_levels=2,
+        num_random_proposals=1, ping_pong_iterations=1, star_axis_only=True,
+    )
+    rng = np.random.RandomState(1)
+    init = gt_disp * (1.0 + 0.1 * rng.randn(*gt_disp.shape).astype(np.float32))
+    out = solver.process_level(ctx, cfg, init_disparity=init)
+    disp = np.asarray(out["disparity"])
+    m = np.zeros(disp.shape, bool)
+    m[:, 4:-4, 4:-4] = True
+    valid = np.isfinite(disp) & m
+    err = np.abs(disp[valid] - gt_disp[valid]) / gt_disp[valid]
+    init_err = np.abs(init[valid] - gt_disp[valid]) / gt_disp[valid]
+    assert np.median(err) < np.median(init_err)
+    assert np.median(err) < 0.05
+
+
 def test_cost_minimized_at_ground_truth(scene):
     """The matching cost at GT disparity must undercut shifted hypotheses."""
     rig, colors, gt_disp = scene
